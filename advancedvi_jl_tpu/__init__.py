@@ -1,0 +1,80 @@
+"""advancedvi_jl_tpu — a TPU-native variational-inference framework.
+
+A from-scratch JAX/XLA/pjit/Pallas framework covering the full algorithm
+surface of TuringLang/AdvancedVI.jl (see SURVEY.md for the structural analysis
+of the reference), redesigned TPU-first:
+
+- families, optimizer states, and algorithm states are pytrees;
+- the whole SGD step (sample -> log-density -> entropy -> grad -> update ->
+  operator -> averaging) is one jitted XLA program, `lax.scan`-able;
+- the Monte-Carlo sample axis and the data minibatch axis are device-mesh
+  axes with psum reductions (parallel/);
+- measure-space (natural-gradient) algorithms are fused batched linear
+  algebra on the MXU.
+"""
+
+from .core.problem import (
+    CustomGradTarget,
+    FnTarget,
+    ORDER_GRAD,
+    ORDER_HESS,
+    ORDER_JAX,
+    ORDER_VALUE_ONLY,
+    fn_target,
+    log_density,
+    log_density_and_grad,
+    subsample,
+)
+from .core.pytree import (
+    pytree_dataclass,
+    static_field,
+    tree_stop_gradient,
+)
+from .core.transforms import (
+    Exp,
+    Identity,
+    Sigmoid,
+    Softplus,
+    Stacked,
+    TransformedDistribution,
+    TransformedTarget,
+    stacked,
+)
+from .families.base import Laplace, Normal, StudentT
+from .families.location_scale import (
+    FullRankGaussian,
+    FullRankLocationScale,
+    MeanFieldGaussian,
+    MeanFieldLocationScale,
+)
+from .families.low_rank import LowRankGaussian, LowRankLocationScale
+from .objectives.entropy import (
+    CLOSED_FORM,
+    CLOSED_FORM_ZERO_GRAD,
+    MONTE_CARLO,
+    STL,
+    STL_ZERO_GRAD,
+    estimate_entropy,
+)
+from .objectives.repgradelbo import RepGradELBO
+from .objectives.scoregradelbo import ScoreGradELBO
+from .objectives.subsampled import SubsampledObjective
+from .optim.averaging import NoAveraging, PolynomialAveraging
+from .optim.operators import (
+    ClipScale,
+    IdentityOperator,
+    ProximalLocationScaleEntropy,
+)
+from .optim.rules import cocob, descent, dog, dowg, stepsize_from_opt_state
+from .algorithms.paramspace import (
+    ADVI,
+    BBVI,
+    KLMinRepGradDescent,
+    KLMinRepGradProxDescent,
+    KLMinScoreGradDescent,
+    ParamSpaceSGD,
+)
+from .optimize import DivergenceError, optimize
+from .subsampling import ReshufflingBatchSubsampling
+
+__version__ = "0.1.0"

@@ -1,0 +1,181 @@
+"""Location-scale variational families (mean-field and full-rank).
+
+TPU-native redesign of the reference's ``MvLocationScale``
+(reference: src/families/location_scale.jl:15-141).  Differences by design:
+
+- The family *is* the parameter pytree.  The reference needs
+  ``Optimisers.destructure`` plus a custom mean-field specialization
+  (location_scale.jl:28-43) to get a flat parameter vector; here optax and
+  jax.grad operate on the pytree directly, so that machinery disappears.
+- The mean-field family stores the scale diagonal as a vector natively (the
+  reference stores a ``Diagonal`` matrix and special-cases its flattening).
+- The full-rank scale is stored as a dense (d, d) array interpreted as its
+  lower triangle; every use applies ``jnp.tril`` so the strict upper triangle
+  is inert (zero gradient, never read) and shapes stay MXU-friendly.
+- ``sample`` is batched: one ``(n, d)`` base draw and a single matmul on the
+  MXU, instead of the reference's per-sample column loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..core.pytree import pytree_dataclass, static_field
+from .base import Normal
+
+
+@pytree_dataclass
+class MeanFieldLocationScale:
+    """Family z = diag(scale) * u + location with iid base draws u ~ base.
+
+    Mirrors the reference's ``MvLocationScale{<:Diagonal}``
+    (reference: src/families/location_scale.jl:79-87 diag-specialized path).
+    """
+
+    location: jax.Array  # (d,)
+    scale_diag: jax.Array  # (d,)
+    base: Any = static_field(default=Normal())
+
+    @property
+    def dim(self) -> int:
+        return self.location.shape[-1]
+
+    def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
+        u = self.base.sample(
+            key, (n_samples, self.dim), self.location.dtype
+        )
+        return u * self.scale_diag + self.location
+
+    def sample_with_base(self, key: jax.Array, n_samples: int):
+        u = self.base.sample(key, (n_samples, self.dim), self.location.dtype)
+        return u * self.scale_diag + self.location, u
+
+    def log_prob(self, z: jax.Array) -> jax.Array:
+        u = (z - self.location) / self.scale_diag
+        return jnp.sum(self.base.log_prob(u), axis=-1) - jnp.sum(
+            jnp.log(jnp.abs(self.scale_diag))
+        )
+
+    def entropy(self) -> jax.Array:
+        # d * H(base) + log|det scale|  (reference: location_scale.jl:52-57)
+        d = self.dim
+        return d * jnp.asarray(
+            self.base.entropy(), dtype=self.location.dtype
+        ) + jnp.sum(jnp.log(jnp.abs(self.scale_diag)))
+
+    def mean(self) -> jax.Array:
+        return self.location + self.scale_diag * self.base.mean()
+
+    def var(self) -> jax.Array:
+        return self.base.var() * jnp.square(self.scale_diag)
+
+    def cov(self) -> jax.Array:
+        return jnp.diag(self.var())
+
+    def scale_matrix(self) -> jax.Array:
+        return jnp.diag(self.scale_diag)
+
+
+@pytree_dataclass
+class FullRankLocationScale:
+    """Family z = tril(scale) @ u + location.
+
+    Mirrors the reference's ``MvLocationScale{<:LowerTriangular}``
+    (reference: src/families/location_scale.jl:71-77).  ``scale`` is stored
+    dense; only its lower triangle is meaningful.
+    """
+
+    location: jax.Array  # (d,)
+    scale: jax.Array  # (d, d), lower-triangular by convention
+    base: Any = static_field(default=Normal())
+
+    @property
+    def dim(self) -> int:
+        return self.location.shape[-1]
+
+    def tril_scale(self) -> jax.Array:
+        return jnp.tril(self.scale)
+
+    def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
+        return self.sample_with_base(key, n_samples)[0]
+
+    def sample_with_base(self, key: jax.Array, n_samples: int):
+        u = self.base.sample(key, (n_samples, self.dim), self.location.dtype)
+        # (n, d) @ (d, d)^T : one MXU matmul for the whole batch.
+        z = u @ self.tril_scale().T + self.location
+        return z, u
+
+    def log_prob(self, z: jax.Array) -> jax.Array:
+        C = self.tril_scale()
+        # Batched triangular solve: the STL hot path `scale \ (z - location)`
+        # (reference: location_scale.jl:59-63), batched over samples.
+        diff = z - self.location
+        if diff.ndim == 1:
+            u = solve_triangular(C, diff, lower=True)
+        else:
+            u = solve_triangular(C, diff.T, lower=True).T
+        return jnp.sum(self.base.log_prob(u), axis=-1) - jnp.sum(
+            jnp.log(jnp.abs(jnp.diag(C)))
+        )
+
+    def entropy(self) -> jax.Array:
+        d = self.dim
+        return d * jnp.asarray(
+            self.base.entropy(), dtype=self.location.dtype
+        ) + jnp.sum(jnp.log(jnp.abs(jnp.diag(self.scale))))
+
+    def mean(self) -> jax.Array:
+        mu_b = self.base.mean()
+        if mu_b == 0.0:
+            return self.location
+        return self.location + self.tril_scale() @ jnp.full(
+            (self.dim,), mu_b, dtype=self.location.dtype
+        )
+
+    def var(self) -> jax.Array:
+        C = self.tril_scale()
+        return self.base.var() * jnp.sum(C * C, axis=1)
+
+    def cov(self) -> jax.Array:
+        C = self.tril_scale()
+        return self.base.var() * (C @ C.T)
+
+    def scale_matrix(self) -> jax.Array:
+        return self.tril_scale()
+
+
+def MeanFieldGaussian(
+    location: jax.Array, scale_diag: jax.Array | None = None
+) -> MeanFieldLocationScale:
+    """Gaussian with diagonal covariance (reference: location_scale.jl:124-141)."""
+    location = jnp.asarray(location)
+    if scale_diag is None:
+        scale_diag = jnp.ones_like(location)
+    return MeanFieldLocationScale(
+        location=location, scale_diag=jnp.asarray(scale_diag), base=Normal()
+    )
+
+
+def FullRankGaussian(
+    location: jax.Array, scale: jax.Array | None = None
+) -> FullRankLocationScale:
+    """Gaussian with dense (Cholesky-factor) covariance."""
+    location = jnp.asarray(location)
+    if scale is None:
+        scale = jnp.eye(location.shape[-1], dtype=location.dtype)
+    return FullRankLocationScale(
+        location=location, scale=jnp.asarray(scale), base=Normal()
+    )
+
+
+def is_location_scale(q: Any) -> bool:
+    from .low_rank import LowRankLocationScale
+
+    return isinstance(
+        q, (MeanFieldLocationScale, FullRankLocationScale, LowRankLocationScale)
+    )

@@ -1,0 +1,67 @@
+"""Analytic Gaussian test targets with ground truth.
+
+TPU-native analogues of the reference test fixtures ``TestNormal`` /
+``normal_fullrank`` / ``normal_meanfield`` (reference: test/models/normal.jl:2-75):
+a d-dimensional Gaussian whose true posterior mean/scale are known, presented
+at a chosen capability order so the gradient/Hessian estimator paths can be
+exercised independently.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..core.problem import ORDER_JAX
+from ..core.pytree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class NormalTarget:
+    """N(mu, L L^T) log-density with analytic ground truth."""
+
+    mu: jax.Array  # (d,)
+    scale_tril: jax.Array  # (d, d) lower-triangular Cholesky factor
+
+    @property
+    def dim(self) -> int:
+        return self.mu.shape[-1]
+
+    def order(self) -> int:
+        return ORDER_JAX
+
+    def log_density(self, theta: jax.Array) -> jax.Array:
+        L = self.scale_tril
+        u = solve_triangular(L, theta - self.mu, lower=True)
+        d = self.dim
+        return (
+            -0.5 * jnp.dot(u, u)
+            - jnp.sum(jnp.log(jnp.abs(jnp.diag(L))))
+            - 0.5 * d * math.log(2.0 * math.pi)
+        )
+
+
+def normal_fullrank(key: jax.Array, n_dims: int = 5, dtype=jnp.float32):
+    """Correlated Gaussian target (reference: test/models/normal.jl fullrank).
+
+    Returns (target, mu_true, scale_tril_true).
+    """
+    k1, k2 = jax.random.split(key)
+    mu = jax.random.normal(k1, (n_dims,), dtype)
+    # Well-conditioned random lower-triangular factor.
+    A = 0.3 * jax.random.normal(k2, (n_dims, n_dims), dtype)
+    L = jnp.tril(A, -1) + jnp.diag(1.0 + 0.5 * jnp.abs(jnp.diag(A)))
+    return NormalTarget(mu=mu, scale_tril=L), mu, L
+
+
+def normal_meanfield(key: jax.Array, n_dims: int = 5, dtype=jnp.float32):
+    """Diagonal Gaussian target (reference: test/models/normal.jl meanfield)."""
+    k1, k2 = jax.random.split(key)
+    mu = jax.random.normal(k1, (n_dims,), dtype)
+    sigma = 0.5 + jax.random.uniform(k2, (n_dims,), dtype)
+    L = jnp.diag(sigma)
+    return NormalTarget(mu=mu, scale_tril=L), mu, L

@@ -1,0 +1,71 @@
+"""Score-function (REINFORCE) ELBO gradient via the VarGrad objective.
+
+TPU-native redesign of ``ScoreGradELBO``
+(reference: src/algorithms/scoregradelbo.jl:15-117).  VarGrad / leave-one-out
+control variate (Richter et al. 2020): draw samples with stopped gradients,
+evaluate the target log-density with stopped gradients, then differentiate
+
+    var_n(f) / 2,   f_i = log q(z_i) - log pi(z_i)
+
+w.r.t. the variational parameters.  Only ``log q`` is differentiated, so the
+target need NOT be differentiable — this is the objective for value-only
+(order-0) targets, e.g. external simulators wrapped in callbacks.
+
+The reported ``elbo`` info is the plain ELBO estimate, not the VarGrad value
+(the reference makes the same distinction: scoregradelbo.jl:96-117).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass, static_field, tree_stop_gradient
+
+
+@pytree_dataclass
+class ScoreGradELBO:
+    n_samples: int = static_field(default=1)
+    mc_axis: Optional[str] = static_field(default=None)
+
+    def init(self, key, q, prob):
+        return ()
+
+    def loss(self, q, prob, key: jax.Array) -> jax.Array:
+        """Differentiable VarGrad forward path.
+
+        Stop-gradient placement mirrors the reference exactly
+        (scoregradelbo.jl:87-94): samples and log-pi are detached; only the
+        ``q.log_prob`` term carries gradients.
+        """
+        q_stop = tree_stop_gradient(q)
+        samples = jax.lax.stop_gradient(q_stop.sample(key, self.n_samples))
+        log_pi = jax.lax.stop_gradient(
+            jax.vmap(prob.log_density)(samples)
+        )
+        log_q = q.log_prob(samples)
+        f = log_q - log_pi
+        return (jnp.mean(jnp.square(f)) - jnp.square(jnp.mean(f))) / 2.0
+
+    def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):
+        """(grad, obj_state, info) with info.elbo the plain ELBO estimate."""
+        vargrad, grad = jax.value_and_grad(self.loss)(q, prob, key)
+        # Re-derive the ELBO estimate on the same samples (cheap; XLA CSEs the
+        # duplicated sampling against the loss evaluation above).
+        samples = q.sample(key, self.n_samples)
+        log_pi = jax.vmap(prob.log_density)(samples)
+        log_q = q.log_prob(samples)
+        info = {"elbo": jnp.mean(log_pi - log_q)}
+        return grad, obj_state, info
+
+    def estimate_objective(
+        self, key: jax.Array, q, prob, n_samples: Optional[int] = None
+    ) -> jax.Array:
+        """-ELBO estimate (reference: scoregradelbo.jl:64-75)."""
+        n = self.n_samples if n_samples is None else n_samples
+        samples = q.sample(key, n)
+        log_pi = jax.vmap(prob.log_density)(samples)
+        log_q = q.log_prob(samples)
+        return -jnp.mean(log_pi - log_q)

@@ -1,0 +1,73 @@
+"""Subsampled objective decorator (doubly-stochastic VI).
+
+TPU-native redesign of ``SubsampledObjective``
+(reference: src/algorithms/subsampledobjective.jl:10-90).  The reference
+detours each gradient step through host-side iterator peeling, problem
+swapping via ``set_objective_state_problem``, and re-destructuring; here the
+whole detour — advance schedule, gather minibatch, inner gradient — is part of
+the same jitted step.  Batch shapes are static by construction, so there is
+exactly one compiled program for the whole run.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import subsample
+from ..core.pytree import pytree_dataclass, static_field
+from ..subsampling import ReshufflingBatchSubsampling
+
+
+@pytree_dataclass
+class SubsampledObjective:
+    objective: Any = static_field()
+    subsampling: ReshufflingBatchSubsampling = static_field()
+
+    @property
+    def n_samples(self) -> int:
+        return self.objective.n_samples
+
+    def init(self, key, q, prob):
+        """Objective state = the subsampling schedule state.
+
+        (The reference also conditions AD preparation on a minibatch-typed
+        problem, subsampledobjective.jl:22-45; jit tracing on the first step
+        does that implicitly here.)
+        """
+        sub_key, _ = jax.random.split(key)
+        return self.subsampling.init(sub_key)
+
+    def value_and_grad(self, q, prob, key: jax.Array, obj_state):
+        batch, sub_state, sub_info = self.subsampling.step(obj_state)
+        prob_sub = subsample(prob, batch)
+        q_sub = subsample(q, batch)
+        grad, _, info = self.objective.value_and_grad(q_sub, prob_sub, key)
+        info.update(sub_info)
+        return grad, sub_state, info
+
+    def estimate_objective(
+        self, key: jax.Array, q, prob, n_samples: Optional[int] = None
+    ) -> jax.Array:
+        """Full-epoch averaged objective (reference: subsampledobjective.jl:47-58)."""
+        epoch_key, mc_key = jax.random.split(key)
+        batches = self.subsampling.epoch_batches(epoch_key)
+
+        def one_batch(carry, inp):
+            i, batch = inp
+            prob_sub = subsample(prob, batch)
+            q_sub = subsample(q, batch)
+            val = self.objective.estimate_objective(
+                jax.random.fold_in(mc_key, i), q_sub, prob_sub, n_samples
+            )
+            return carry + val, None
+
+        n_batches = batches.shape[0]
+        total, _ = jax.lax.scan(
+            one_batch,
+            jnp.zeros((), dtype=q.location.dtype),
+            (jnp.arange(n_batches), batches),
+        )
+        return total / n_batches

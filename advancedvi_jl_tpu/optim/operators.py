@@ -1,0 +1,93 @@
+"""Post-update projection / proximal operators.
+
+Applied to the variational family after each optimizer update inside the
+jitted step (reference protocol: ``AbstractOperator.apply``,
+src/AdvancedVI.jl:173-204).  The reference restructures params -> family ->
+mutate -> destructure; here the family IS the params, so operators are pure
+pytree -> pytree maps that XLA fuses into the step.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass, static_field
+from ..families.location_scale import (
+    FullRankLocationScale,
+    MeanFieldLocationScale,
+)
+from ..families.low_rank import LowRankLocationScale
+from .rules import stepsize_from_opt_state
+
+
+@pytree_dataclass
+class IdentityOperator:
+    """No-op (reference: src/AdvancedVI.jl:197-199)."""
+
+    def apply(self, q, opt_state):
+        return q
+
+
+@pytree_dataclass
+class ClipScale:
+    """Project the scale so its eigenvalues are >= epsilon.
+
+    Reference: src/optimization/clip_scale.jl:8-41 — clamps the scale diagonal
+    (mean-field / full-rank Cholesky) or ``scale_diag`` (low-rank).
+    """
+
+    epsilon: float = static_field(default=1e-5)
+
+    def apply(self, q, opt_state):
+        eps = self.epsilon
+        if isinstance(q, MeanFieldLocationScale):
+            return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
+        if isinstance(q, FullRankLocationScale):
+            C = jnp.tril(q.scale)
+            diag = jnp.diag(C)
+            C = C + jnp.diag(jnp.maximum(diag, eps) - diag)
+            return q.replace(scale=C)
+        if isinstance(q, LowRankLocationScale):
+            return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
+        raise TypeError(
+            f"ClipScale is not defined for family {type(q).__name__}"
+        )
+
+
+@pytree_dataclass
+class ProximalLocationScaleEntropy:
+    """Closed-form proximal step for the entropy of a location-scale family.
+
+    prox(lambda) = argmin_l' -H(q_l') + ||lambda - l'||^2 / (2 gamma_t);
+    on the scale diagonal this solves to
+        sigma' = sigma / 2 + sqrt(sigma^2 + 4 gamma_t) / 2
+    (reference: src/optimization/proximal_location_scale_entropy.jl:20-61).
+    ``gamma_t`` is the live step size extracted from the optimizer state
+    (Descent / DoG / DoWG only).
+    """
+
+    def apply(self, q, opt_state):
+        gamma = stepsize_from_opt_state(opt_state)
+        if gamma is None:
+            raise ValueError(
+                "ProximalLocationScaleEntropy requires an optimizer whose "
+                "step size is extractable from its state: descent, dog, dowg."
+            )
+
+        def prox(sigma):
+            return sigma / 2.0 + jnp.sqrt(jnp.square(sigma) + 4.0 * gamma) / 2.0
+
+        if isinstance(q, MeanFieldLocationScale):
+            return q.replace(scale_diag=prox(q.scale_diag))
+        if isinstance(q, FullRankLocationScale):
+            C = jnp.tril(q.scale)
+            diag = jnp.diag(C)
+            C = C + jnp.diag(prox(diag) - diag)
+            return q.replace(scale=C)
+        raise TypeError(
+            "ProximalLocationScaleEntropy only supports location-scale "
+            f"families, got {type(q).__name__}"
+        )

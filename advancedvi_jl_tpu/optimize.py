@@ -1,0 +1,119 @@
+"""The `optimize` driver loop.
+
+TPU-native redesign of the reference driver (reference: src/optimize.jl:42-94).
+The reference runs a host loop calling a dynamically-dispatched `step`; here
+the step is compiled once and driven either
+
+- in **scan mode** (default): `lax.scan` over chunks of iterations — the host
+  syncs only once per chunk, so tiny VI models run at device speed instead of
+  host-dispatch speed (the main perf design decision, SURVEY.md §7); or
+- in **callback mode**: a host loop around the jitted step, used when a
+  per-iteration Python callback is supplied (host sync per step, same
+  semantics as the reference's callback contract, common.jl:106-118).
+
+Per-iteration ``info`` dicts come back as stacked device arrays (scan mode)
+and are converted to a list of dicts for reference parity.  Warm-starting via
+``state=`` reproduces the reference's split-run == single-run invariant
+(test/general/optimize.jl:30-41) because the PRNG key and iteration counter
+live in the state.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class DivergenceError(RuntimeError):
+    """Raised when the objective became non-finite (reference: common.jl:83-89)."""
+
+
+def _steps_scanned(alg, state, n_steps: int):
+    def body(carry, _):
+        new_state, info = alg.step(carry)
+        return new_state, info
+
+    return jax.lax.scan(body, state, None, length=n_steps)
+
+
+def optimize(
+    key: jax.Array,
+    algorithm,
+    max_iter: int,
+    prob,
+    q_init,
+    *,
+    state: Optional[Any] = None,
+    callback: Optional[Callable] = None,
+    chunk_size: Optional[int] = None,
+    show_progress: bool = False,
+    check_divergence: bool = True,
+):
+    """Run a variational inference algorithm.
+
+    Returns ``(output, info, state)`` exactly like the reference
+    (output distribution, list of per-iteration info dicts, warm-start state).
+    """
+    if state is None:
+        state = algorithm.init(key, q_init, prob)
+
+    infos: list = []
+
+    if callback is not None:
+        # Host loop: jitted single step + Python callback per iteration.
+        step_fn = jax.jit(algorithm.step)
+        for t in range(max_iter):
+            state, info = step_fn(state)
+            info = {k: jax.device_get(v) for k, v in info.items()}
+            if check_divergence and bool(info.get("diverged", False)):
+                raise DivergenceError(
+                    f"The objective value is {info.get('elbo')} at iteration "
+                    f"{t + 1}. This indicates that the optimization diverged."
+                )
+            extra = callback(
+                iteration=int(jax.device_get(state.iteration)),
+                state=state,
+                info=info,
+            )
+            if extra:
+                info.update(extra)
+            info["iteration"] = t + 1
+            infos.append(info)
+            if show_progress and (t + 1) % max(1, max_iter // 20) == 0:
+                elbo = info.get("elbo")
+                print(f"  iter {t + 1}/{max_iter}  elbo={elbo}")
+    else:
+        # Scan mode: device-side loop, one host sync per chunk.
+        chunk = chunk_size or max_iter
+
+        def make_scan(n):
+            return jax.jit(lambda s: _steps_scanned(algorithm, s, n))
+
+        scans: dict = {}
+        done = 0
+        while done < max_iter:
+            n = min(chunk, max_iter - done)
+            if n not in scans:
+                scans[n] = make_scan(n)
+            state, stacked = scans[n](state)
+            stacked = jax.device_get(stacked)
+            if check_divergence and "diverged" in stacked:
+                div = stacked["diverged"]
+                if div.any():
+                    bad = int(div.argmax()) + done + 1
+                    raise DivergenceError(
+                        f"The objective became non-finite at iteration {bad}. "
+                        "This indicates that the optimization diverged."
+                    )
+            for i in range(n):
+                row = {k: v[i] for k, v in stacked.items()}
+                row["iteration"] = done + i + 1
+                infos.append(row)
+            done += n
+            if show_progress:
+                elbo = infos[-1].get("elbo")
+                print(f"  iter {done}/{max_iter}  elbo={elbo}")
+
+    return algorithm.output(state), infos, state
