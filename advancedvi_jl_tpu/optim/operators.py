@@ -46,9 +46,11 @@ class ClipScale:
         if isinstance(q, MeanFieldLocationScale):
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
         if isinstance(q, FullRankLocationScale):
+            # Zero the diagonal then set the clamped values, so clamped
+            # entries are exactly eps (no catastrophic cancellation).
             C = jnp.tril(q.scale)
             diag = jnp.diag(C)
-            C = C + jnp.diag(jnp.maximum(diag, eps) - diag)
+            C = C - jnp.diag(diag) + jnp.diag(jnp.maximum(diag, eps))
             return q.replace(scale=C)
         if isinstance(q, LowRankLocationScale):
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))

@@ -50,14 +50,46 @@ def optimize(
     chunk_size: Optional[int] = None,
     show_progress: bool = False,
     check_divergence: bool = True,
+    mesh: Optional[Any] = None,
 ):
     """Run a variational inference algorithm.
 
     Returns ``(output, info, state)`` exactly like the reference
     (output distribution, list of per-iteration info dicts, warm-start state).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` (see parallel.make_vi_mesh); the
+    whole run executes under it with state replicated and the MC/data axes
+    sharded per the objective's ``mc_axis`` / the target's ``data_axis``
+    annotations.
     """
+    if mesh is not None:
+        from .parallel.mesh import replicate_state
+
+        with jax.set_mesh(mesh):
+            if state is None:
+                state = algorithm.init(key, q_init, prob)
+            state = replicate_state(state, mesh)
+            return _optimize_loop(
+                algorithm, max_iter, state, callback, chunk_size,
+                show_progress, check_divergence,
+            )
     if state is None:
         state = algorithm.init(key, q_init, prob)
+    return _optimize_loop(
+        algorithm, max_iter, state, callback, chunk_size,
+        show_progress, check_divergence,
+    )
+
+
+def _optimize_loop(
+    algorithm,
+    max_iter: int,
+    state: Any,
+    callback: Optional[Callable],
+    chunk_size: Optional[int],
+    show_progress: bool,
+    check_divergence: bool,
+):
 
     infos: list = []
 

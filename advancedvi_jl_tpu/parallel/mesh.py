@@ -1,0 +1,75 @@
+"""Device-mesh construction and sharded execution for VI workloads.
+
+The reference is strictly single-process (SURVEY.md §2.7: no MPI/NCCL/
+collectives anywhere); this layer is the genuinely new TPU-native part.
+Design (scaling-book recipe): pick a mesh, annotate shardings, let XLA/GSPMD
+insert the collectives, profile.
+
+Two mesh axes map the two embarrassingly-parallel axes of VI:
+
+- ``"mc"``   — the Monte-Carlo sample axis of ``rand(q, n)`` (the reference's
+  inner loop, repgradelbo.jl:84-86).  Sharding the (n, d) draw makes every
+  per-sample log-density evaluate on its owning device; the mean-reduction in
+  the ELBO/gradient becomes a psum over ICI.
+- ``"data"`` — the minibatch axis of subsampled VI (subsampledobjective.jl):
+  per-example log-likelihood terms shard row-wise; their sum is a psum.
+
+Everything else (variational parameters, optimizer state, averager state) is
+replicated — it is tiny (O(d) .. O(d^2)).
+
+Determinism: with ``jax_threefry_partitionable`` (on by default in this
+package), sharded sampling produces bit-identical draws for ANY device count,
+so the estimator is not merely unbiased across mesh shapes — it is pointwise
+identical (verified in tests/test_parallel.py).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_vi_mesh()``;
+the same code runs SPMD across hosts, with the "mc"/"data" collectives riding
+ICI inside a slice and DCN across slices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec
+
+MC_AXIS = "mc"
+DATA_AXIS = "data"
+
+
+def make_vi_mesh(
+    n_mc: Optional[int] = None,
+    n_data: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Mesh with axes ("data", "mc"); defaults to all devices on "mc"."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_mc is None:
+        if n % n_data != 0:
+            raise ValueError(
+                f"{n} devices not divisible by data axis size {n_data}"
+            )
+        n_mc = n // n_data
+    if n_mc * n_data != n:
+        raise ValueError(
+            f"mesh ({n_data} x {n_mc}) != device count {n}"
+        )
+    import numpy as np
+
+    dev_array = np.asarray(devices).reshape(n_data, n_mc)
+    return Mesh(
+        dev_array,
+        (DATA_AXIS, MC_AXIS),
+        axis_types=(AxisType.Auto, AxisType.Auto),
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def replicate_state(state, mesh: Mesh):
+    """Place an algorithm-state pytree fully replicated on the mesh."""
+    return jax.device_put(state, replicated(mesh))

@@ -1,0 +1,130 @@
+"""Multi-device tests on a host-simulated 8-device mesh.
+
+The test genre the reference lacks entirely (SURVEY.md §4): sharded-vs-single
+gradient equality, mesh end-to-end optimization, collective correctness.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import advancedvi_jl_tpu as avt
+from advancedvi_jl_tpu.models.logreg import make_logreg
+from advancedvi_jl_tpu.models.normal import normal_fullrank
+from advancedvi_jl_tpu.parallel.mesh import MC_AXIS, make_vi_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _grad_leaves(g):
+    return [np.asarray(x) for x in jax.tree.leaves(g)]
+
+
+def test_sharded_gradient_equals_single_device(key):
+    """Gradient with the MC axis sharded over 8 devices must be bitwise
+    equal to the single-device gradient (partitionable threefry)."""
+    target, mu, L = normal_fullrank(jax.random.key(3), 5)
+    q = avt.FullRankGaussian(jnp.zeros(5))
+
+    obj_single = avt.RepGradELBO(n_samples=64, entropy=avt.STL)
+    g_single, _, info_s = jax.jit(
+        lambda q: obj_single.value_and_grad(q, target, key)
+    )(q)
+
+    mesh = make_vi_mesh(n_mc=8)
+    obj_sharded = avt.RepGradELBO(n_samples=64, entropy=avt.STL, mc_axis=MC_AXIS)
+    with jax.set_mesh(mesh):
+        g_sharded, _, info_m = jax.jit(
+            lambda q: obj_sharded.value_and_grad(q, target, key)
+        )(q)
+
+    for a, b in zip(_grad_leaves(g_single), _grad_leaves(g_sharded)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(info_s["elbo"]), np.asarray(info_m["elbo"]), rtol=1e-5
+    )
+
+
+def test_mesh_optimize_end_to_end(key):
+    """Full ADVI run under a (data=2, mc=4) mesh converges like single-device."""
+    target, mu, L = normal_fullrank(jax.random.key(3), 5)
+    q0 = avt.FullRankGaussian(jnp.zeros(5))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=8, operator=avt.ClipScale(),
+        mc_axis=MC_AXIS,
+    )
+    mesh = make_vi_mesh(n_mc=4, n_data=2)
+    out, infos, _ = avt.optimize(key, alg, 500, target, q0, mesh=mesh)
+    assert float(jnp.linalg.norm(out.location - mu)) < 0.1
+    assert np.isfinite(infos[-1]["elbo"])
+
+
+def test_mesh_matches_unsharded_bitwise(key):
+    """Same run with and without the mesh gives identical iterates."""
+    target, _, _ = normal_fullrank(jax.random.key(3), 5)
+    q0 = avt.FullRankGaussian(jnp.zeros(5))
+
+    def run(mesh, mc_axis):
+        alg = avt.KLMinRepGradDescent(
+            entropy=avt.STL, n_samples=16, operator=avt.ClipScale(),
+            mc_axis=mc_axis,
+        )
+        out, _, _ = avt.optimize(key, alg, 50, target, q0, mesh=mesh)
+        return out
+
+    out_single = run(None, None)
+    out_mesh = run(make_vi_mesh(n_mc=8), MC_AXIS)
+    np.testing.assert_allclose(
+        np.asarray(out_single.location),
+        np.asarray(out_mesh.location),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_data_axis_sharded_logreg(key):
+    """Subsampled logreg with rows sharded over the data axis."""
+    from advancedvi_jl_tpu.parallel.mesh import DATA_AXIS
+
+    target = make_logreg(
+        jax.random.key(11), n_data=64, n_features=7, data_axis=DATA_AXIS
+    ).unconstrained()
+    d = 9
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    sub = avt.ReshufflingBatchSubsampling(n_data=64, batchsize=16)
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=8, operator=avt.ClipScale(),
+        subsampling=sub, mc_axis=MC_AXIS,
+    )
+    mesh = make_vi_mesh(n_mc=4, n_data=2)
+    out, infos, _ = avt.optimize(key, alg, 200, target, q0, mesh=mesh)
+    assert np.isfinite(infos[-1]["elbo"])
+    # likelihood rescaling sanity: epochs advanced
+    assert infos[-1]["epoch"] >= 40
+
+
+def test_psum_mean_reduction_shard_map(key):
+    """Collective correctness: explicit shard_map psum mean over 'mc' equals
+    the global mean (documents the collective the GSPMD path auto-inserts)."""
+    shard_map = jax.shard_map
+
+    mesh = make_vi_mesh(n_mc=8)
+    x = jax.random.normal(key, (64, 4))
+
+    def local_mean(xs):
+        return jax.lax.pmean(jnp.mean(xs), MC_AXIS)
+
+    with jax.set_mesh(mesh):
+        got = shard_map(
+            local_mean,
+            mesh=mesh,
+            in_specs=P(MC_AXIS, None),
+            out_specs=P(),
+        )(x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(jnp.mean(x)), rtol=1e-6
+    )

@@ -1,0 +1,97 @@
+"""Transform (bijector) tests: inverse consistency, log-det-Jacobian
+correctness against autodiff, and the constrained logreg / normal-lognormal
+workflow (the reference handles this user-side: README.md:91-140)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import advancedvi_jl_tpu as avt
+from advancedvi_jl_tpu.models.normallognormal import make_normallognormal
+
+
+TRANSFORMS = [
+    ("identity", avt.Identity(), 4),
+    ("exp", avt.Exp(), 4),
+    ("softplus", avt.Softplus(), 4),
+    ("sigmoid", avt.Sigmoid(lo=-2.0, hi=3.0), 4),
+    ("stacked", avt.stacked((avt.Identity(), 2), (avt.Exp(), 2)), 4),
+]
+
+
+@pytest.mark.parametrize("name,t,d", TRANSFORMS, ids=[x[0] for x in TRANSFORMS])
+def test_inverse_roundtrip(name, t, d, key):
+    x = jax.random.normal(key, (d,))
+    y, _ = t.forward_and_ldj(x)
+    x_back = t.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name,t,d", TRANSFORMS, ids=[x[0] for x in TRANSFORMS])
+def test_ldj_matches_autodiff(name, t, d, key):
+    x = jax.random.normal(key, (d,))
+    J = jax.jacfwd(lambda xx: t.forward_and_ldj(xx)[0])(x)
+    _, logdet = np.linalg.slogdet(np.asarray(J))
+    _, ldj = t.forward_and_ldj(x)
+    np.testing.assert_allclose(float(ldj), logdet, rtol=1e-4, atol=1e-5)
+
+
+def test_transformed_target_density(key):
+    """Unconstrained-space density integrates the Jacobian correctly: for the
+    normal-lognormal target, the pushforward in (log y, x) is exactly
+    Gaussian."""
+    target, mu_true, scale_true = make_normallognormal(jax.random.key(8), 3)
+    unc = target.unconstrained()
+    theta = jax.random.normal(key, (4,)) * 0.3
+    lp = float(unc.log_density(theta))
+    # manual: Gaussian in (logy, x) with mean mu_true, scale_true
+    z = np.asarray(theta)
+    m = np.asarray(mu_true)
+    s = np.asarray(scale_true)
+    expected = float(
+        np.sum(-0.5 * ((z - m) / s) ** 2 - np.log(s) - 0.5 * np.log(2 * np.pi))
+    )
+    np.testing.assert_allclose(lp, expected, rtol=1e-4)
+
+
+def test_normallognormal_fullrank_convergence(key):
+    """BASELINE config #2: full-rank Gaussian on normal-lognormal with
+    bijector-constrained support recovers the analytic optimum."""
+    target, mu_true, scale_true = make_normallognormal(jax.random.key(8), 5)
+    unc = target.unconstrained()
+    q0 = avt.FullRankGaussian(jnp.zeros(6))
+    import optax
+
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL,
+        n_samples=8,
+        optimizer=optax.adam(2e-2),
+        operator=avt.ClipScale(),
+    )
+    out, infos, _ = avt.optimize(key, alg, 3000, unc, q0)
+    np.testing.assert_allclose(
+        np.asarray(out.location), np.asarray(mu_true), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.diag(np.asarray(out.scale)), np.asarray(scale_true), atol=0.05
+    )
+
+
+def test_transformed_distribution_sampling(key):
+    """Pushing the optimum through the bijector gives constrained samples
+    (reference pattern: README.md:199-202)."""
+    target, mu_true, scale_true = make_normallognormal(jax.random.key(8), 3)
+    unc = target.unconstrained()
+    q = avt.FullRankGaussian(jnp.asarray(mu_true), jnp.diag(scale_true))
+    q_constrained = avt.TransformedDistribution(
+        base=q, transform=unc.transform
+    )
+    z = np.asarray(q_constrained.sample(key, 10_000))
+    assert np.all(z[:, 0] > 0)  # y strictly positive
+    # E[y] = exp(mu + s^2/2) for the lognormal coordinate
+    np.testing.assert_allclose(
+        z[:, 0].mean(),
+        np.exp(float(mu_true[0]) + 0.5 * float(scale_true[0]) ** 2),
+        rtol=0.1,
+    )
