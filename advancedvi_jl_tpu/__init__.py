@@ -74,7 +74,17 @@ from .algorithms.paramspace import (
     KLMinScoreGradDescent,
     ParamSpaceSGD,
 )
+from .algorithms.measure_space import (
+    FisherMinBatchMatch,
+    KLMinNaturalGradDescent,
+    KLMinSqrtNaturalGradDescent,
+    KLMinWassFwdBwd,
+)
+from .core.external import ExternalTarget
+from .core.factorized import FactorizedTarget, factorized_target
 from .optimize import DivergenceError, optimize
+from .parallel.mesh import DATA_AXIS, MC_AXIS, make_vi_mesh
 from .subsampling import ReshufflingBatchSubsampling
+from .utils.checkpoint import restore_state, save_state
 
 __version__ = "0.1.0"

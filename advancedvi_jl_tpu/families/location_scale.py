@@ -29,6 +29,19 @@ from ..core.pytree import pytree_dataclass, static_field
 from .base import Normal
 
 
+def _check_pallas_ok(q) -> None:
+    if not isinstance(q.base, Normal):
+        raise ValueError(
+            "sampler='pallas' requires the Normal base (Box-Muller kernel); "
+            f"got {type(q.base).__name__}"
+        )
+    if q.location.dtype != jnp.float32:
+        raise ValueError(
+            f"sampler='pallas' requires float32 parameters, got "
+            f"{q.location.dtype}"
+        )
+
+
 @pytree_dataclass
 class MeanFieldLocationScale:
     """Family z = diag(scale) * u + location with iid base draws u ~ base.
@@ -40,18 +53,26 @@ class MeanFieldLocationScale:
     location: jax.Array  # (d,)
     scale_diag: jax.Array  # (d,)
     base: Any = static_field(default=Normal())
+    sampler: str = static_field(default="xla")
 
     @property
     def dim(self) -> int:
         return self.location.shape[-1]
 
     def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
-        u = self.base.sample(
-            key, (n_samples, self.dim), self.location.dtype
-        )
-        return u * self.scale_diag + self.location
+        return self.sample_with_base(key, n_samples)[0]
 
     def sample_with_base(self, key: jax.Array, n_samples: int):
+        if self.sampler == "pallas":
+            _check_pallas_ok(self)
+            from ..ops.pallas.location_scale_kernels import (
+                key_to_seed,
+                meanfield_sample,
+            )
+
+            return meanfield_sample(
+                key_to_seed(key), self.location, self.scale_diag, n_samples
+            )
         u = self.base.sample(key, (n_samples, self.dim), self.location.dtype)
         return u * self.scale_diag + self.location, u
 
@@ -93,6 +114,7 @@ class FullRankLocationScale:
     location: jax.Array  # (d,)
     scale: jax.Array  # (d, d), lower-triangular by convention
     base: Any = static_field(default=Normal())
+    sampler: str = static_field(default="xla")
 
     @property
     def dim(self) -> int:
@@ -105,6 +127,16 @@ class FullRankLocationScale:
         return self.sample_with_base(key, n_samples)[0]
 
     def sample_with_base(self, key: jax.Array, n_samples: int):
+        if self.sampler == "pallas":
+            _check_pallas_ok(self)
+            from ..ops.pallas.location_scale_kernels import (
+                fullrank_sample,
+                key_to_seed,
+            )
+
+            return fullrank_sample(
+                key_to_seed(key), self.location, self.tril_scale(), n_samples
+            )
         u = self.base.sample(key, (n_samples, self.dim), self.location.dtype)
         # (n, d) @ (d, d)^T : one MXU matmul for the whole batch.
         z = u @ self.tril_scale().T + self.location
@@ -150,26 +182,41 @@ class FullRankLocationScale:
 
 
 def MeanFieldGaussian(
-    location: jax.Array, scale_diag: jax.Array | None = None
+    location: jax.Array,
+    scale_diag: jax.Array | None = None,
+    sampler: str = "xla",
 ) -> MeanFieldLocationScale:
-    """Gaussian with diagonal covariance (reference: location_scale.jl:124-141)."""
+    """Gaussian with diagonal covariance (reference: location_scale.jl:124-141).
+
+    ``sampler="pallas"`` switches to the fused on-chip-RNG TPU kernel
+    (ops/pallas/location_scale_kernels.py) — a different, still-deterministic
+    random stream; keep "xla" when exact jax.random parity matters.
+    """
     location = jnp.asarray(location)
     if scale_diag is None:
         scale_diag = jnp.ones_like(location)
     return MeanFieldLocationScale(
-        location=location, scale_diag=jnp.asarray(scale_diag), base=Normal()
+        location=location,
+        scale_diag=jnp.asarray(scale_diag),
+        base=Normal(),
+        sampler=sampler,
     )
 
 
 def FullRankGaussian(
-    location: jax.Array, scale: jax.Array | None = None
+    location: jax.Array,
+    scale: jax.Array | None = None,
+    sampler: str = "xla",
 ) -> FullRankLocationScale:
     """Gaussian with dense (Cholesky-factor) covariance."""
     location = jnp.asarray(location)
     if scale is None:
         scale = jnp.eye(location.shape[-1], dtype=location.dtype)
     return FullRankLocationScale(
-        location=location, scale=jnp.asarray(scale), base=Normal()
+        location=location,
+        scale=jnp.asarray(scale),
+        base=Normal(),
+        sampler=sampler,
     )
 
 

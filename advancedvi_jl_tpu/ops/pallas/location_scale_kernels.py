@@ -1,0 +1,190 @@
+"""Fused location-scale reparameterization samplers (Pallas TPU kernels).
+
+SURVEY.md §2.8 item 1: the reference's sampling path materializes the base
+draw ``u`` and then applies ``scale * u .+ location`` as separate BLAS calls
+(reference: src/families/location_scale.jl:71-87).  These kernels generate
+the base normals with the on-chip PRNG and apply the affine map in VMEM, so
+``u`` never round-trips through HBM:
+
+- ``meanfield_sample(seed, location, scale_diag, n)``: z = u * sigma + m.
+- ``fullrank_sample(seed, location, scale_tril, n)``: z = u @ C^T + m, tiled
+  so the (TILE_N, d) x (d, d) product runs on the MXU while RNG generation
+  for the next tile overlaps.
+
+Standard normals come from Box–Muller over two uint32 draws.  The draws are
+deterministic in (seed, tile index) but use a DIFFERENT stream than
+``jax.random.normal`` — callers opt in via ``sampler="pallas"`` on the family
+(the default XLA path keeps reference-grade key semantics).
+
+Both samplers return ``(z, u)`` and register a custom VJP (the sampling path
+must be differentiable w.r.t. location/scale for the reparameterization
+gradient): dz/dm = 1, dz/dsigma = u, dz/dC = ct^T u.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _uniform01(shape):
+    """Uniforms in [0, 1) via the mantissa trick: (bits >> 9) | 0x3F800000
+    bitcast to float32 lies in [1, 2).  Exact, branch-free, and independent of
+    whether prng_random_bits reports int32 or uint32 (on hardware it is int32;
+    a plain astype would go negative)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    mant = jax.lax.shift_right_logical(bits, jnp.uint32(9)) | jnp.uint32(
+        0x3F800000
+    )
+    return pltpu.bitcast(mant, jnp.float32) - 1.0
+
+
+def _box_muller(shape):
+    """Standard normals from the seeded on-chip PRNG (call prng_seed first)."""
+    u1 = _uniform01(shape)
+    u2 = _uniform01(shape)
+    # keep u1 strictly positive for the log (2^-24 = float32 mantissa ulp)
+    r = jnp.sqrt(-2.0 * jnp.log(u1 + 5.9604645e-08))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _meanfield_kernel(seed_ref, loc_ref, sd_ref, z_ref, u_ref):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
+    u = _box_muller(u_ref.shape)
+    u_ref[:] = u
+    z_ref[:] = u * sd_ref[:] + loc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile_n", "interpret"))
+def _meanfield_sample_raw(seed, location, scale_diag, n, tile_n, interpret):
+    d = location.shape[0]
+    grid = pl.cdiv(n, tile_n)
+    out = pl.pallas_call(
+        _meanfield_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid * tile_n, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid * tile_n, d), jnp.float32),
+        ),
+        interpret=interpret,
+    )(seed, location, scale_diag)
+    z, u = out
+    return z[:n], u[:n]
+
+
+def _fullrank_kernel(seed_ref, loc_ref, scale_ref, z_ref, u_ref):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
+    u = _box_muller(u_ref.shape)
+    u_ref[:] = u
+    z_ref[:] = (
+        jnp.dot(u, scale_ref[:].T, preferred_element_type=jnp.float32)
+        + loc_ref[:]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile_n", "interpret"))
+def _fullrank_sample_raw(seed, location, scale_tril, n, tile_n, interpret):
+    d = location.shape[0]
+    grid = pl.cdiv(n, tile_n)
+    out = pl.pallas_call(
+        _fullrank_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid * tile_n, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid * tile_n, d), jnp.float32),
+        ),
+        interpret=interpret,
+    )(seed, location, scale_tril)
+    z, u = out
+    return z[:n], u[:n]
+
+
+def key_to_seed(key: jax.Array) -> jax.Array:
+    """(2,) int32 seed words from a jax PRNG key (for SMEM prefetch)."""
+    data = jax.random.key_data(key).reshape(-1)[:2]
+    return jax.lax.bitcast_convert_type(data, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrappers (reparameterization path)
+# ---------------------------------------------------------------------------
+
+
+def _float0_zero(shape):
+    # Cotangent for integer-dtype primals (the seed) is float0.
+    import numpy as np
+
+    return np.zeros(shape, dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def meanfield_sample(seed, location, scale_diag, n, tile_n=256, interpret=False):
+    """Fused z = u * sigma + m; returns (z, u), differentiable in (m, sigma)."""
+    return _meanfield_sample_raw(seed, location, scale_diag, n, tile_n, interpret)
+
+
+def _mf_fwd(seed, location, scale_diag, n, tile_n, interpret):
+    z, u = _meanfield_sample_raw(seed, location, scale_diag, n, tile_n, interpret)
+    return (z, u), (u, seed.shape)
+
+
+def _mf_bwd(n, tile_n, interpret, res, cts):
+    u, seed_shape = res
+    ct_z, _ = cts  # u is a constant w.r.t. parameters
+    return (
+        _float0_zero(seed_shape),
+        jnp.sum(ct_z, axis=0),
+        jnp.sum(ct_z * u, axis=0),
+    )
+
+
+meanfield_sample.defvjp(_mf_fwd, _mf_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fullrank_sample(seed, location, scale_tril, n, tile_n=256, interpret=False):
+    """Fused z = u @ C^T + m; returns (z, u), differentiable in (m, C)."""
+    return _fullrank_sample_raw(seed, location, scale_tril, n, tile_n, interpret)
+
+
+def _fr_fwd(seed, location, scale_tril, n, tile_n, interpret):
+    z, u = _fullrank_sample_raw(seed, location, scale_tril, n, tile_n, interpret)
+    return (z, u), (u, seed.shape)
+
+
+def _fr_bwd(n, tile_n, interpret, res, cts):
+    u, seed_shape = res
+    ct_z, _ = cts
+    # z = u C^T + m  =>  dL/dC = ct_z^T u ; dL/dm = sum ct_z
+    dC = ct_z.T @ u
+    return (_float0_zero(seed_shape), jnp.sum(ct_z, axis=0), jnp.tril(dC))
+
+
+fullrank_sample.defvjp(_fr_fwd, _fr_bwd)
