@@ -82,6 +82,7 @@ from .algorithms.measure_space import (
 )
 from .core.external import ExternalTarget
 from .core.factorized import FactorizedTarget, factorized_target
+from .estimate import estimate_objective
 from .optimize import DivergenceError, optimize
 from .parallel.mesh import DATA_AXIS, MC_AXIS, make_vi_mesh
 from .subsampling import ReshufflingBatchSubsampling

@@ -30,12 +30,12 @@ class DivergenceError(RuntimeError):
     """Raised when the objective became non-finite (reference: common.jl:83-89)."""
 
 
-def _steps_scanned(alg, state, n_steps: int):
+def _steps_scanned(alg, state, n_steps: int, unroll: int = 1):
     def body(carry, _):
         new_state, info = alg.step(carry)
         return new_state, info
 
-    return jax.lax.scan(body, state, None, length=n_steps)
+    return jax.lax.scan(body, state, None, length=n_steps, unroll=unroll)
 
 
 def optimize(
@@ -51,6 +51,7 @@ def optimize(
     show_progress: bool = False,
     check_divergence: bool = True,
     mesh: Optional[Any] = None,
+    unroll: int = 1,
 ):
     """Run a variational inference algorithm.
 
@@ -71,13 +72,13 @@ def optimize(
             state = replicate_state(state, mesh)
             return _optimize_loop(
                 algorithm, max_iter, state, callback, chunk_size,
-                show_progress, check_divergence,
+                show_progress, check_divergence, unroll,
             )
     if state is None:
         state = algorithm.init(key, q_init, prob)
     return _optimize_loop(
         algorithm, max_iter, state, callback, chunk_size,
-        show_progress, check_divergence,
+        show_progress, check_divergence, unroll,
     )
 
 
@@ -89,6 +90,7 @@ def _optimize_loop(
     chunk_size: Optional[int],
     show_progress: bool,
     check_divergence: bool,
+    unroll: int = 1,
 ):
 
     infos: list = []
@@ -121,7 +123,7 @@ def _optimize_loop(
         chunk = chunk_size or max_iter
 
         def make_scan(n):
-            return jax.jit(lambda s: _steps_scanned(algorithm, s, n))
+            return jax.jit(lambda s: _steps_scanned(algorithm, s, n, unroll))
 
         scans: dict = {}
         done = 0
