@@ -55,9 +55,15 @@ def _box_muller(shape):
     return r * jnp.cos(_TWO_PI * u2)
 
 
+def _mix_seed(seed_ref, i):
+    # v5e supports at most 2 seed words; fold the tile index into word 0
+    # (wrapping int32 golden-ratio mix) so tiles get independent streams.
+    return seed_ref[0] + i * (-1640531527), seed_ref[1]
+
+
 def _meanfield_kernel(seed_ref, loc_ref, sd_ref, z_ref, u_ref):
-    i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
+    s0, s1 = _mix_seed(seed_ref, pl.program_id(0))
+    pltpu.prng_seed(s0, s1)
     u = _box_muller(u_ref.shape)
     u_ref[:] = u
     z_ref[:] = u * sd_ref[:] + loc_ref[:]
@@ -90,8 +96,8 @@ def _meanfield_sample_raw(seed, location, scale_diag, n, tile_n, interpret):
 
 
 def _fullrank_kernel(seed_ref, loc_ref, scale_ref, z_ref, u_ref):
-    i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], i)
+    s0, s1 = _mix_seed(seed_ref, pl.program_id(0))
+    pltpu.prng_seed(s0, s1)
     u = _box_muller(u_ref.shape)
     u_ref[:] = u
     z_ref[:] = (

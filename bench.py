@@ -52,7 +52,8 @@ def main():
             new_state, info = alg.step(carry)
             return new_state, info["elbo"]
 
-        return jax.lax.scan(body, state, None, length=n)
+        # unroll=4: measured +12% on v5e for this small-step workload
+        return jax.lax.scan(body, state, None, length=n, unroll=4)
 
     run_warm = jax.jit(lambda s: chunk(s, WARMUP_STEPS))
     run_timed = jax.jit(lambda s: chunk(s, TIMED_CHUNK))

@@ -161,3 +161,17 @@ def test_determinism(key):
         return np.asarray(out.location)
 
     np.testing.assert_array_equal(run(), run())
+
+
+def test_ngd_with_subsampling(key):
+    """Measure-space algorithm + subsampling (target-only, reference note)."""
+    from advancedvi_jl_tpu.models.subsampled_normals import subsampled_normals
+
+    target, mu_true, L_true = subsampled_normals(jax.random.key(2), 8)
+    q0 = avt.FullRankGaussian(jnp.zeros(1))
+    sub = avt.ReshufflingBatchSubsampling(n_data=8, batchsize=2)
+    alg = KLMinNaturalGradDescent(stepsize=0.05, n_samples=32, subsampling=sub)
+    out, infos, _ = avt.optimize(key, alg, 800, target, q0)
+    assert "epoch" in infos[-1]
+    assert abs(float(out.location[0]) - float(mu_true[0])) < 0.1
+    assert abs(float(out.scale[0, 0]) - float(L_true[0, 0])) < 0.1
