@@ -115,13 +115,24 @@ class FullRankLocationScale:
     scale: jax.Array  # (d, d), lower-triangular by convention
     base: Any = static_field(default=Normal())
     sampler: str = static_field(default="xla")
+    # Tensor parallelism for very large d (SURVEY.md §2.7 TP row): mesh axis
+    # to shard the scale's ROWS over.  The (n, d) x (d, d) sampling matmul
+    # then computes d/n_tp output columns per device; GSPMD keeps the base
+    # draw replicated and partitions z column-wise — no collective needed on
+    # the forward sampling path (each output column owns its row of C).
+    tp_axis: Any = static_field(default=None)
 
     @property
     def dim(self) -> int:
         return self.location.shape[-1]
 
     def tril_scale(self) -> jax.Array:
-        return jnp.tril(self.scale)
+        C = jnp.tril(self.scale)
+        if self.tp_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            C = jax.lax.with_sharding_constraint(C, P(self.tp_axis, None))
+        return C
 
     def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
         return self.sample_with_base(key, n_samples)[0]

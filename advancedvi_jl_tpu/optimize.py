@@ -20,6 +20,7 @@ live in the state.
 
 from __future__ import annotations
 
+import weakref
 from typing import Any, Callable, Optional
 
 import jax
@@ -28,6 +29,23 @@ import jax.numpy as jnp
 
 class DivergenceError(RuntimeError):
     """Raised when the objective became non-finite (reference: common.jl:83-89)."""
+
+
+# Compiled-step cache keyed on the algorithm object: repeated optimize()
+# calls with the same algorithm (warm-start segments, periodic evaluation
+# loops) reuse the jitted scan instead of recompiling.  WeakKey so dropping
+# the algorithm frees the executables.
+_JIT_CACHE: "weakref.WeakKeyDictionary[Any, dict]" = weakref.WeakKeyDictionary()
+
+
+def _cached_jit(algorithm, kind: str, make):
+    try:
+        per_alg = _JIT_CACHE.setdefault(algorithm, {})
+    except TypeError:  # unhashable/non-weakrefable algorithm
+        return make()
+    if kind not in per_alg:
+        per_alg[kind] = make()
+    return per_alg[kind]
 
 
 def _steps_scanned(alg, state, n_steps: int, unroll: int = 1):
@@ -97,7 +115,9 @@ def _optimize_loop(
 
     if callback is not None:
         # Host loop: jitted single step + Python callback per iteration.
-        step_fn = jax.jit(algorithm.step)
+        step_fn = _cached_jit(
+            algorithm, "step", lambda: jax.jit(algorithm.step)
+        )
         for t in range(max_iter):
             state, info = step_fn(state)
             info = {k: jax.device_get(v) for k, v in info.items()}
@@ -125,13 +145,13 @@ def _optimize_loop(
         def make_scan(n):
             return jax.jit(lambda s: _steps_scanned(algorithm, s, n, unroll))
 
-        scans: dict = {}
         done = 0
         while done < max_iter:
             n = min(chunk, max_iter - done)
-            if n not in scans:
-                scans[n] = make_scan(n)
-            state, stacked = scans[n](state)
+            fn = _cached_jit(
+                algorithm, f"scan_{n}_{unroll}", lambda: make_scan(n)
+            )
+            state, stacked = fn(state)
             stacked = jax.device_get(stacked)
             if check_divergence and "diverged" in stacked:
                 div = stacked["diverged"]

@@ -156,3 +156,45 @@ def test_custom_grad_target_routes_through_oracle(key):
     )
     g = jax.grad(lambda th: prob.log_density(th))(jnp.ones(d))
     np.testing.assert_allclose(np.asarray(g), 100.0 * np.ones(d))
+
+
+def test_callback_info_merging(meanfield_problem, key):
+    """Callback return values merge into the per-iteration info list
+    (reference: klminrepgraddescent.jl callback testset + optimize.jl:77)."""
+    target, _, _ = meanfield_problem
+    q0 = avt.MeanFieldGaussian(jnp.zeros(5), jnp.ones(5))
+    alg = avt.KLMinRepGradDescent(n_samples=2, operator=avt.ClipScale())
+
+    def callback(iteration, state, info):
+        assert "elbo" in info
+        assert state.q.location.shape == (5,)
+        return {"iteration_check": iteration}
+
+    _, infos, _ = avt.optimize(key, alg, 10, target, q0, callback=callback)
+    assert [i["iteration_check"] for i in infos] == list(range(1, 11))
+    assert [i["iteration"] for i in infos] == list(range(1, 11))
+
+
+def test_estimate_objective_function(meanfield_problem, key):
+    target, mu, L = meanfield_problem
+    qstar = avt.MeanFieldGaussian(mu, jnp.diag(L))
+    alg = avt.KLMinRepGradDescent(n_samples=2, operator=avt.ClipScale())
+    val = avt.estimate_objective(key, alg, qstar, target, n_samples=100_000)
+    assert abs(float(val)) < 1e-2
+
+
+def test_chunked_scan_equals_single_scan(meanfield_problem, key):
+    """chunk_size and unroll do not change the trajectory (up to XLA
+    reassociation — compiled programs differ, so float-level tolerance)."""
+    target, _, _ = meanfield_problem
+    q0 = avt.MeanFieldGaussian(jnp.zeros(5), jnp.ones(5))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=4, operator=avt.ClipScale()
+    )
+    ref, _, _ = avt.optimize(key, alg, 60, target, q0)
+    for kwargs in ({"chunk_size": 7}, {"unroll": 4}, {"chunk_size": 13, "unroll": 2}):
+        out, _, _ = avt.optimize(key, alg, 60, target, q0, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(ref.location), np.asarray(out.location), rtol=1e-5,
+            atol=1e-6,
+        )
