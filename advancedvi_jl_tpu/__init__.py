@@ -33,9 +33,11 @@ from .core.pytree import (
 from .core.transforms import (
     Exp,
     Identity,
+    Ordered,
     Sigmoid,
     Softplus,
     Stacked,
+    StickBreakingSimplex,
     TransformedDistribution,
     TransformedTarget,
     stacked,

@@ -35,6 +35,15 @@ class Transform:
     def inverse(self, y: jax.Array) -> jax.Array:
         raise NotImplementedError
 
+    def unconstrained_dim(self, constrained_dim: int) -> int:
+        """Input (unconstrained) dimension for a given output dimension.
+
+        Identity for elementwise transforms; dimension-changing bijections
+        (simplex) override.  The VI family lives in the unconstrained space,
+        so ``TransformedTarget.dim`` reports this.
+        """
+        return constrained_dim
+
 
 @pytree_dataclass
 class Identity(Transform):
@@ -94,6 +103,59 @@ class Sigmoid(Transform):
 
 
 @pytree_dataclass
+class StickBreakingSimplex(Transform):
+    """Unconstrained R^{K-1} -> K-simplex via stick-breaking (the standard
+    Stan/Bijectors construction).  ldj = sum_k [log s_k + log z_k + log(1-z_k)]
+    where z_k = sigmoid(x_k - log(K - 1 - k)) and s_k is the remaining stick.
+    """
+
+    def forward_and_ldj(self, x):
+        km1 = x.shape[-1]
+        k_idx = jnp.arange(km1, dtype=x.dtype)
+        adj = jnp.log(jnp.asarray(km1, x.dtype) - k_idx)
+        z = jax.nn.sigmoid(x - adj)
+
+        def body(rem, zk):
+            yk = rem * zk
+            # d y_k / d x_k = rem * z_k (1 - z_k); accumulate log terms
+            ldj_k = jnp.log(rem) + jnp.log(zk) + jnp.log1p(-zk)
+            return rem - yk, (yk, ldj_k)
+
+        rem, (ys, ldjs) = jax.lax.scan(body, jnp.ones((), x.dtype), z)
+        y = jnp.concatenate([ys, rem[None]])
+        return y, jnp.sum(ldjs)
+
+    def inverse(self, y):
+        k = y.shape[-1]
+        km1 = k - 1
+        rem = 1.0 - jnp.concatenate(
+            [jnp.zeros((1,), y.dtype), jnp.cumsum(y[:-1])]
+        )[:km1]
+        z = y[:km1] / rem
+        adj = jnp.log(
+            jnp.asarray(km1, y.dtype) - jnp.arange(km1, dtype=y.dtype)
+        )
+        return jnp.log(z) - jnp.log1p(-z) + adj
+
+    def unconstrained_dim(self, constrained_dim: int) -> int:
+        return constrained_dim - 1
+
+
+@pytree_dataclass
+class Ordered(Transform):
+    """Unconstrained R^K -> strictly increasing vectors:
+    y_1 = x_1, y_k = y_{k-1} + exp(x_k); ldj = sum_{k>=2} x_k."""
+
+    def forward_and_ldj(self, x):
+        incr = jnp.concatenate([x[:1], jnp.exp(x[1:])])
+        y = jnp.cumsum(incr)
+        return y, jnp.sum(x[1:])
+
+    def inverse(self, y):
+        return jnp.concatenate([y[:1], jnp.log(jnp.diff(y))])
+
+
+@pytree_dataclass
 class Stacked(Transform):
     """Apply different transforms to contiguous slices of the vector.
 
@@ -121,9 +183,17 @@ class Stacked(Transform):
         pieces = []
         offset = 0
         for t, n in zip(self.transforms, self.sizes):
-            pieces.append(t.inverse(jax.lax.dynamic_slice_in_dim(y, offset, n)))
-            offset += n
+            # output size of this block (differs from n for dim-changing
+            # transforms like the simplex)
+            n_out = t.forward(jnp.zeros((n,), y.dtype)).shape[0]
+            pieces.append(
+                t.inverse(jax.lax.dynamic_slice_in_dim(y, offset, n_out))
+            )
+            offset += n_out
         return jnp.concatenate(pieces)
+
+    def unconstrained_dim(self, constrained_dim: int) -> int:
+        return sum(self.sizes)
 
 
 def stacked(*pairs: Tuple[Transform, int]) -> Stacked:
@@ -146,8 +216,10 @@ class TransformedTarget:
 
     @property
     def dim(self) -> int:
+        """Dimension of the UNCONSTRAINED space (where the VI family lives)."""
         d = getattr(self.prob, "dim")
-        return d() if callable(d) else int(d)
+        d = d() if callable(d) else int(d)
+        return self.transform.unconstrained_dim(d)
 
     def order(self) -> int:
         return order_of(self.prob)

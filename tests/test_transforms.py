@@ -95,3 +95,67 @@ def test_transformed_distribution_sampling(key):
         np.exp(float(mu_true[0]) + 0.5 * float(scale_true[0]) ** 2),
         rtol=0.1,
     )
+
+
+def test_simplex_transform(key):
+    t = avt.StickBreakingSimplex()
+    x = jax.random.normal(key, (4,))
+    y, ldj = t.forward_and_ldj(x)
+    assert y.shape == (5,)
+    np.testing.assert_allclose(float(jnp.sum(y)), 1.0, rtol=1e-6)
+    assert np.all(np.asarray(y) > 0)
+    # inverse round-trip
+    np.testing.assert_allclose(
+        np.asarray(t.inverse(y)), np.asarray(x), rtol=1e-4, atol=1e-5
+    )
+    # ldj vs autodiff of the first K-1 outputs (the K-th is determined)
+    J = jax.jacfwd(lambda xx: t.forward_and_ldj(xx)[0][:-1])(x)
+    _, logdet = np.linalg.slogdet(np.asarray(J))
+    np.testing.assert_allclose(float(ldj), logdet, rtol=1e-4)
+    assert t.unconstrained_dim(5) == 4
+
+
+def test_ordered_transform(key):
+    t = avt.Ordered()
+    x = jax.random.normal(key, (6,))
+    y, ldj = t.forward_and_ldj(x)
+    assert np.all(np.diff(np.asarray(y)) > 0)
+    np.testing.assert_allclose(
+        np.asarray(t.inverse(y)), np.asarray(x), rtol=1e-4, atol=1e-5
+    )
+    J = jax.jacfwd(lambda xx: t.forward_and_ldj(xx)[0])(x)
+    _, logdet = np.linalg.slogdet(np.asarray(J))
+    np.testing.assert_allclose(float(ldj), logdet, rtol=1e-5)
+
+
+def test_dirichlet_vi_via_simplex(key):
+    """End-to-end: mean-field VI on a Dirichlet posterior through the
+    stick-breaking transform recovers the Dirichlet mean."""
+    alpha = jnp.asarray([4.0, 2.0, 1.0])
+
+    @avt.pytree_dataclass
+    class Dirichlet:
+        alpha: jax.Array
+        @property
+        def dim(self):
+            return 3
+        def log_density(self, p):
+            return jnp.sum((self.alpha - 1.0) * jnp.log(p))
+
+    target = avt.TransformedTarget(
+        prob=Dirichlet(alpha=alpha), transform=avt.StickBreakingSimplex()
+    )
+    assert target.dim == 2
+    import optax
+    q0 = avt.MeanFieldGaussian(jnp.zeros(2), 0.5 * jnp.ones(2))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=32, optimizer=optax.adam(2e-2),
+        operator=avt.ClipScale(),
+    )
+    out, _, _ = avt.optimize(key, alg, 2000, target, q0)
+    post = avt.TransformedDistribution(
+        base=out, transform=avt.StickBreakingSimplex()
+    )
+    draws = np.asarray(post.sample(jax.random.key(9), 20_000))
+    mean_true = np.asarray(alpha / jnp.sum(alpha))
+    np.testing.assert_allclose(draws.mean(0), mean_true, atol=0.05)
