@@ -134,7 +134,10 @@ class CustomGradTarget:
     ChainRules rrule (reference: src/mixedad_logdensity.jl:23-34).
 
     ``data`` is an arbitrary pytree threaded through (so subsampled variants
-    keep working under jit); the closures are static.
+    keep working under jit); the closures are static.  Supplying
+    ``value_grad_and_hess_fn`` raises the capability to order 2, enabling the
+    exact-Hessian path of the measure-space algorithms (the reference's
+    ``logdensity_gradient_and_hessian``).
     """
 
     data: Any
@@ -142,8 +145,11 @@ class CustomGradTarget:
     value_and_grad_fn: Callable = static_field()
     dim: int = static_field()
     capability: int = static_field(default=ORDER_GRAD)
+    value_grad_and_hess_fn: Callable = static_field(default=None)
 
     def order(self) -> int:
+        if self.value_grad_and_hess_fn is not None:
+            return max(self.capability, ORDER_HESS)
         return self.capability
 
     def log_density(self, theta: jax.Array) -> jax.Array:
@@ -153,6 +159,11 @@ class CustomGradTarget:
 
     def log_density_and_grad(self, theta: jax.Array):
         return self.value_and_grad_fn(theta, self.data)
+
+    def log_density_grad_and_hess(self, theta: jax.Array):
+        if self.value_grad_and_hess_fn is None:
+            raise ValueError("target has no Hessian oracle (order < 2)")
+        return self.value_grad_and_hess_fn(theta, self.data)
 
 
 def maybe_wrap_custom_grad(prob: Any) -> Any:

@@ -52,6 +52,10 @@ class RepGradELBO:
     n_samples: int = static_field(default=1)
     entropy: str = static_field(default=CLOSED_FORM)
     mc_axis: Optional[str] = static_field(default=None)
+    # Rematerialize the per-sample energy in the backward pass instead of
+    # storing activations — trades FLOPs for HBM on large models (deep BNNs
+    # with many samples), the standard jax.checkpoint pattern.
+    remat: bool = static_field(default=False)
 
     def init(self, key, q, prob):
         return ()  # stateless: jit caching replaces AD preparation
@@ -67,7 +71,10 @@ class RepGradELBO:
         samples = q.sample(key, self.n_samples)
         samples = _constrain_mc(samples, self.mc_axis)
         ent = estimate_entropy(self.entropy, samples, q, q_stop)
-        energy = jnp.mean(jax.vmap(prob.log_density)(samples))
+        log_density = prob.log_density
+        if self.remat:
+            log_density = jax.checkpoint(log_density)
+        energy = jnp.mean(jax.vmap(log_density)(samples))
         return -(energy + ent)
 
     def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):

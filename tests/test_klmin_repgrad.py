@@ -198,3 +198,20 @@ def test_chunked_scan_equals_single_scan(meanfield_problem, key):
             np.asarray(ref.location), np.asarray(out.location), rtol=1e-5,
             atol=1e-6,
         )
+
+
+def test_remat_matches_plain(meanfield_problem, key):
+    """jax.checkpoint on the energy term changes memory, not values."""
+    target, _, _ = meanfield_problem
+    q = avt.MeanFieldGaussian(jnp.ones(5), 0.5 * jnp.ones(5))
+    g1, _, i1 = avt.RepGradELBO(n_samples=16, entropy=avt.STL).value_and_grad(
+        q, target, key
+    )
+    g2, _, i2 = avt.RepGradELBO(
+        n_samples=16, entropy=avt.STL, remat=True
+    ).value_and_grad(q, target, key)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(i1["elbo"]), float(i2["elbo"]), rtol=1e-6
+    )

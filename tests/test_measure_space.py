@@ -175,3 +175,32 @@ def test_ngd_with_subsampling(key):
     assert "epoch" in infos[-1]
     assert abs(float(out.location[0]) - float(mu_true[0])) < 0.1
     assert abs(float(out.scale[0, 0]) - float(L_true[0, 0])) < 0.1
+
+
+def test_order2_oracle_uses_exact_path(quad, key):
+    """A Hessian oracle raises capability to order 2; the exact path must use
+    it (verified with a deliberately scaled oracle Hessian)."""
+    import dataclasses
+
+    def vgh(x, data):
+        A, b = data
+        return (-0.5 * x @ A @ x + b @ x, -A @ x + b, -2.0 * A)  # wrong x2
+
+    prob = avt.CustomGradTarget(
+        data=(quad.A, quad.b),
+        value_fn=lambda x, d: -0.5 * x @ d[0] @ x + d[1] @ x,
+        value_and_grad_fn=lambda x, d: (
+            -0.5 * x @ d[0] @ x + d[1] @ x, -d[0] @ x + d[1]
+        ),
+        dim=4,
+        value_grad_and_hess_fn=vgh,
+    )
+    from advancedvi_jl_tpu.core.problem import ORDER_HESS, order_of
+
+    assert order_of(prob) == ORDER_HESS
+    q = avt.FullRankGaussian(jnp.zeros(4))
+    _, g, h = gaussian_expected_grad_hess(key, q, 100, prob)
+    # the deliberately doubled Hessian proves the oracle was used
+    np.testing.assert_allclose(
+        np.asarray(h), np.asarray(-2.0 * quad.A), rtol=1e-5
+    )
