@@ -49,6 +49,7 @@ from .families.location_scale import (
     MeanFieldGaussian,
     MeanFieldLocationScale,
 )
+from .families.flows import FlowELBO, PlanarFlowFamily, planar_flow
 from .families.low_rank import LowRankGaussian, LowRankLocationScale
 from .objectives.entropy import (
     CLOSED_FORM,
