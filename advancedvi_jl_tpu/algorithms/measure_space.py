@@ -28,13 +28,12 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from ..core.problem import subsample as subsample_hook
-from ..core.pytree import pytree_dataclass, static_field
+from ..core.pytree import pytree_dataclass
 from ..families.base import Normal
 from ..families.location_scale import FullRankLocationScale
 from ..objectives.entropy import MONTE_CARLO
 from ..objectives.repgradelbo import RepGradELBO
 from ..ops.sqrtm import inv_sqrtm_psd, sqrtm_psd
-from ..subsampling import ReshufflingBatchSubsampling
 from .gauss_expected import (
     check_capability_at_least_grad,
     gaussian_expected_grad_hess,

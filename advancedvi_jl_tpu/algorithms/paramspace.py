@@ -21,26 +21,25 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..core.pytree import pytree_dataclass, static_field
+from ..core.pytree import pytree_dataclass
 from ..families.location_scale import is_location_scale
 from ..objectives.entropy import (
     CLOSED_FORM,
     CLOSED_FORM_ZERO_GRAD,
     MONTE_CARLO,
     STL,
-    STL_ZERO_GRAD,
     ZERO_GRAD_ESTIMATORS,
 )
 from ..objectives.repgradelbo import RepGradELBO
 from ..objectives.scoregradelbo import ScoreGradELBO
 from ..objectives.subsampled import SubsampledObjective
-from ..optim.averaging import NoAveraging, PolynomialAveraging
+from ..optim.averaging import PolynomialAveraging
 from ..optim.operators import (
     ClipScale,
     IdentityOperator,
     ProximalLocationScaleEntropy,
 )
-from ..optim.rules import descent, dog, dowg
+from ..optim.rules import dowg
 
 
 @pytree_dataclass

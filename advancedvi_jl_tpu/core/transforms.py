@@ -14,7 +14,7 @@ Conventions: ``forward`` maps unconstrained -> constrained (the reference's
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

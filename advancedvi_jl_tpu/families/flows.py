@@ -22,7 +22,7 @@ contraction — the scan over layers stays on-device and fuses well.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ TPU-native redesign of the reference's ``MvLocationScale``
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax

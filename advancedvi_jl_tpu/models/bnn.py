@@ -10,7 +10,7 @@ Supports minibatch subsampling with likelihood rescaling.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

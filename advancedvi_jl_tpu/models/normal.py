@@ -10,14 +10,12 @@ exercised independently.
 from __future__ import annotations
 
 import math
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..core.problem import ORDER_JAX
-from ..core.pytree import pytree_dataclass, static_field
+from ..core.pytree import pytree_dataclass
 
 
 @pytree_dataclass

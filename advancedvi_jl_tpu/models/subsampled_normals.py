@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.problem import ORDER_JAX
-from ..core.pytree import pytree_dataclass, static_field
+from ..core.pytree import pytree_dataclass
 
 
 @pytree_dataclass

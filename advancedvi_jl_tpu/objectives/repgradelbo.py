@@ -18,7 +18,7 @@ reference: src/AdvancedVI.jl:27-111).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ pytree -> pytree maps that XLA fuses into the step.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -24,7 +24,6 @@ import weakref
 from typing import Any, Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 
 class DivergenceError(RuntimeError):

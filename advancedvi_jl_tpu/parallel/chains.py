@@ -17,7 +17,7 @@ per-chain hyperparameters stored as arrays also work).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
