@@ -37,13 +37,20 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    import optax
+
     target = make_logreg(
         jax.random.key(11), n_data=208, n_features=60
     ).unconstrained()
     d = 62
     q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    # Adam(1e-3) matches the reference CI benchmark configuration
+    # (bench/benchmarks.jl: Adam + ClipScale).
     alg = avt.KLMinRepGradDescent(
-        entropy=avt.STL, n_samples=10, operator=avt.ClipScale()
+        entropy=avt.STL,
+        n_samples=10,
+        optimizer=optax.adam(1e-3),
+        operator=avt.ClipScale(),
     )
     state = alg.init(jax.random.key(0), q0, target)
 

@@ -1,0 +1,146 @@
+"""Production-scale workload benchmarks (secondary; bench.py is the headline).
+
+Three workloads exercising real FLOPs rather than the overhead-bound flagship:
+
+1. BNN posterior: mean-field ADVI+STL on a 2-layer MLP (in=32, hidden=256,
+   d≈8.7k params) over 16k data points, minibatch 2048, n_samples=16 — the
+   per-step energy is two big MXU matmuls per sample.
+2. Full-rank d=256, n_samples=1024 with the Pallas fused sampler.
+3. 1024 vmapped chains of the flagship model (aggregate throughput).
+
+Prints one JSON line per workload.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _time_chunk(alg, state, steps, unroll=1, reps=3):
+    def chunk(s):
+        def body(c, _):
+            s2, info = alg.step(c)
+            return s2, info["elbo"]
+
+        return jax.lax.scan(body, s, None, length=steps, unroll=unroll)
+
+    f = jax.jit(chunk)
+    state, el = f(state)
+    _ = float(jax.device_get(el[-1]))
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.time()
+        state, el = f(state)
+        last = float(jax.device_get(el[-1]))
+        best = min(best, time.time() - t0)
+    assert jnp.isfinite(last)
+    return steps / best, last
+
+
+def bench_bnn():
+    import advancedvi_jl_tpu as avt
+    from advancedvi_jl_tpu.models.bnn import make_bnn
+
+    bnn = make_bnn(jax.random.key(1), n_data=16_384, in_dim=32, hidden=256)
+    d = bnn.dim
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.05 * jnp.ones(d))
+    sub = avt.ReshufflingBatchSubsampling(n_data=16_384, batchsize=2048)
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=16, subsampling=sub,
+        optimizer=optax.adam(1e-3), operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, bnn)
+    sps, elbo = _time_chunk(alg, state, 200)
+    # energy FLOPs only: 2 matmuls fwd + ~2x bwd, per sample per step
+    flops = 2 * (2048 * 32 * 256 + 2048 * 256) * 16 * 3 * sps
+    print(
+        json.dumps(
+            {
+                "metric": "bnn_8704param_steps_per_s",
+                "value": round(sps, 1),
+                "unit": "steps/s",
+                "approx_tflops": round(flops / 1e12, 2),
+            }
+        )
+    )
+
+
+def bench_fullrank_pallas():
+    import advancedvi_jl_tpu as avt
+    from advancedvi_jl_tpu.models.normal import normal_fullrank
+
+    d = 256
+    target, mu, L = normal_fullrank(jax.random.key(3), d)
+    q0 = avt.FullRankGaussian(jnp.zeros(d), sampler="pallas")
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=1024, optimizer=optax.adam(5e-3),
+        operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    sps, elbo = _time_chunk(alg, state, 200)
+    print(
+        json.dumps(
+            {
+                "metric": "fullrank_d256_n1024_pallas_steps_per_s",
+                "value": round(sps, 1),
+                "unit": "steps/s",
+            }
+        )
+    )
+
+
+def bench_chains():
+    import advancedvi_jl_tpu as avt
+    from advancedvi_jl_tpu.models.logreg import make_logreg
+    from advancedvi_jl_tpu.parallel.chains import init_chains, step_chains
+
+    target = make_logreg(
+        jax.random.key(11), n_data=208, n_features=60
+    ).unconstrained()
+    d = 62
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=10, optimizer=optax.adam(1e-3),
+        operator=avt.ClipScale(),
+    )
+    K = 1024
+    states, axes = init_chains(
+        jax.random.key(0), alg, q0, target, n_chains=K, jitter=0.1
+    )
+
+    def chunk(s):
+        def body(c, _):
+            s2, info = step_chains(alg, c, axes)
+            return s2, info["elbo"]
+
+        return jax.lax.scan(body, s, None, length=500, unroll=2)
+
+    f = jax.jit(chunk)
+    states, el = f(states)
+    _ = float(jax.device_get(el[-1, 0]))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        states, el = f(states)
+        _ = float(jax.device_get(el[-1, 0]))
+        best = min(best, time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "flagship_1024chains_aggregate_chainsteps_per_s",
+                "value": round(500 * K / best, 1),
+                "unit": "chain-steps/s",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    bench_bnn()
+    bench_fullrank_pallas()
+    bench_chains()
