@@ -103,20 +103,19 @@ class MeasureSpaceAlgorithm:
             key=state_key,
         )
 
+    def _advance_subsampling(self, state: MeasureSpaceState):
+        """(prob_for_this_step, new_sub_state, schedule_info)."""
+        if self.subsampling is None:
+            return state.prob, state.sub_state, {}
+        batch, sub_state, sub_info = self.subsampling.step(state.sub_state)
+        return subsample_hook(state.prob, batch), sub_state, sub_info
+
     def step(self, state: MeasureSpaceState):
         it = state.iteration + 1
         step_key = jax.random.fold_in(state.key, state.iteration)
 
-        info = {}
-        if self.subsampling is not None:
-            batch, sub_state, sub_info = self.subsampling.step(
-                state.sub_state
-            )
-            prob_sub = subsample_hook(state.prob, batch)
-            info.update(sub_info)
-        else:
-            sub_state = state.sub_state
-            prob_sub = state.prob
+        prob_sub, sub_state, info = self._advance_subsampling(state)
+        info = dict(info)
 
         logpi_avg, grad, hess = gaussian_expected_grad_hess(
             step_key, state.q, self.n_samples, prob_sub
@@ -304,16 +303,8 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
         n = self.n_samples
         d = q.dim
 
-        info = {}
-        if self.subsampling is not None:
-            batch, sub_state, sub_info = self.subsampling.step(
-                state.sub_state
-            )
-            prob_sub = subsample_hook(state.prob, batch)
-            info.update(sub_info)
-        else:
-            sub_state = state.sub_state
-            prob_sub = state.prob
+        prob_sub, sub_state, info = self._advance_subsampling(state)
+        info = dict(info)
 
         mu = q.location
         C = q.tril_scale()

@@ -159,8 +159,12 @@ class ParamSpaceSGD:
         self, key: jax.Array, q, prob, n_samples: Optional[int] = None
     ):
         """-ELBO via RepGrad + Monte-Carlo entropy, regardless of the training
-        objective (reference: common.jl:29-38)."""
+        objective (reference: common.jl:29-38).  Families without a
+        ``log_prob`` (e.g. flows, which track density only along the sampling
+        path) fall back to the training objective's own estimator."""
         n = n_samples if n_samples is not None else self.objective.n_samples
+        if not hasattr(q, "log_prob"):
+            return self.objective.estimate_objective(key, q, prob, n)
         obj = RepGradELBO(n_samples=n, entropy=MONTE_CARLO)
         return obj.estimate_objective(key, q, prob)
 

@@ -251,6 +251,16 @@ class TransformedDistribution:
         return jax.vmap(self.transform.forward)(z)
 
     def log_prob(self, y: jax.Array) -> jax.Array:
-        x = self.transform.inverse(y)
-        _, ldj = self.transform.forward_and_ldj(x)
-        return self.base.log_prob(x) - ldj
+        """Density in constrained space; handles single points and (n, d)
+        batches (transforms are written for single vectors, so batches are
+        vmapped — a batched call to forward_and_ldj would sum the Jacobian
+        over the whole batch)."""
+
+        def single(yy):
+            x = self.transform.inverse(yy)
+            _, ldj = self.transform.forward_and_ldj(x)
+            return self.base.log_prob(x) - ldj
+
+        if y.ndim == 1:
+            return single(y)
+        return jax.vmap(single)(y)

@@ -112,11 +112,10 @@ class FlowELBO:
         return ()
 
     def loss(self, q, prob, key: jax.Array) -> jax.Array:
-        z, logq = q.sample_and_log_prob(key, self.n_samples)
-        if self.mc_axis is not None:
-            from jax.sharding import PartitionSpec as P
+        from ..objectives.repgradelbo import _constrain_mc
 
-            z = jax.lax.with_sharding_constraint(z, P(self.mc_axis, None))
+        z, logq = q.sample_and_log_prob(key, self.n_samples)
+        z = _constrain_mc(z, self.mc_axis)
         energy = jnp.mean(jax.vmap(prob.log_density)(z))
         return -(energy - jnp.mean(logq))
 

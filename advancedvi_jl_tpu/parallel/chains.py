@@ -95,8 +95,15 @@ def optimize_chains(
 ):
     """Run K independent optimizations; returns (outputs, final_infos, states, axes).
 
-    ``outputs`` is the family pytree with a leading chain axis; pick the best
-    chain by evaluating ``estimate_objective`` per chain.
+    ``outputs`` is the family pytree with a leading chain axis.  To pick the
+    best chain, score with the NEGATED objective (``estimate_objective``
+    returns the negative ELBO — lower is better — while ``best_chain`` takes
+    the argmax)::
+
+        scores = jax.vmap(
+            lambda q: -alg.estimate_objective(key, q, prob, n_samples)
+        )(outputs)
+        q_best = best_chain(outputs, scores)
     """
     if states is None:
         states, axes = init_chains(

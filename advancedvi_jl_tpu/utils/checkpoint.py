@@ -18,6 +18,7 @@ Typed PRNG keys are stored as their raw key data and re-wrapped on restore.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Any
 
 import jax
@@ -26,7 +27,29 @@ import numpy as np
 
 
 def _fingerprint(treedef) -> str:
-    return hashlib.sha256(str(treedef).encode()).hexdigest()[:16]
+    # str(treedef) embeds reprs of callables held in static fields
+    # (`<function mymod.<locals>.<lambda> at 0x7f...>`): both the memory
+    # address and the qualname vary across processes/definitions sites, so
+    # normalize all function/method/object reprs — otherwise durable restore
+    # always fails for targets like FnTarget / FactorizedTarget.  Structural
+    # mismatches are still caught: container structure, field names, and
+    # non-callable static config survive normalization.
+    text = str(treedef)
+    # names may themselves contain '<...>' (e.g. '<lambda>', '<locals>'), so
+    # anchor on the trailing ' at 0x...' rather than '[^>]*'
+    text = re.sub(
+        r"<(function|bound method|cyfunction) .*? at 0x[0-9a-f]+>",
+        r"<\1>",
+        text,
+    )
+    text = re.sub(r"0x[0-9a-f]+", "0x0", text)
+    return hashlib.sha256(text.encode()).hexdigest()[:16]
+
+
+def _norm_path(path: str) -> str:
+    # np.savez appends ".npz" to extensionless paths; normalize so
+    # save_state/restore_state stay symmetric.
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def _is_key(x) -> bool:
@@ -34,6 +57,7 @@ def _is_key(x) -> bool:
 
 
 def save_state(path: str, state: Any) -> None:
+    path = _norm_path(path)
     leaves, treedef = jax.tree.flatten(state)
     arrays = {}
     for i, x in enumerate(leaves):
@@ -49,7 +73,7 @@ def save_state(path: str, state: Any) -> None:
 
 def restore_state(path: str, template_state: Any) -> Any:
     """Rebuild a state pytree from disk onto the template's structure."""
-    with np.load(path, allow_pickle=False) as data:
+    with np.load(_norm_path(path), allow_pickle=False) as data:
         leaves, treedef = jax.tree.flatten(template_state)
         got = str(data["__fingerprint__"])
         want = _fingerprint(treedef)

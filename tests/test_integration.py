@@ -165,3 +165,89 @@ def test_checkpoint_structure_mismatch(tmp_path, key):
     template = other_alg.init(key, avt.FullRankGaussian(jnp.zeros(5)), target)
     with pytest.raises(ValueError, match="structure mismatch"):
         restore_state(path, template)
+
+
+def test_checkpoint_cross_process_fingerprint(tmp_path, key):
+    """Fingerprints must not depend on callable memory addresses: restore in
+    a fresh process must accept a checkpoint from another process (regression:
+    str(treedef) embedded `<function ... at 0x...>`)."""
+    import subprocess
+    import sys
+
+    script = f"""
+import os
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import advancedvi_jl_tpu as avt
+target = avt.fn_target(lambda th, _: -0.5 * jnp.sum(th**2), dim=3)
+q0 = avt.MeanFieldGaussian(jnp.zeros(3), jnp.ones(3))
+alg = avt.KLMinRepGradDescent(n_samples=2, operator=avt.ClipScale())
+_, _, state = avt.optimize(jax.random.key(0), alg, 3, target, q0)
+avt.save_state({str(tmp_path / "xp")!r}, state)
+"""
+    subprocess.run([sys.executable, "-c", script], check=True)
+    # restore here (a different process than the saver)
+    target = avt.fn_target(
+        lambda th, _: -0.5 * jnp.net if False else -0.5 * jnp.sum(th**2),
+        dim=3,
+    )
+    q0 = avt.MeanFieldGaussian(jnp.zeros(3), jnp.ones(3))
+    alg = avt.KLMinRepGradDescent(n_samples=2, operator=avt.ClipScale())
+    template = alg.init(jax.random.key(0), q0, target)
+    restored = restore_state(str(tmp_path / "xp"), template)
+    assert int(jax.device_get(restored.iteration)) == 3
+
+
+def test_checkpoint_extensionless_path(tmp_path, key):
+    """save/restore round trip with an extensionless path (regression:
+    np.savez appends .npz on save but load used the verbatim path)."""
+    from advancedvi_jl_tpu.models.normal import normal_meanfield
+
+    target, _, _ = normal_meanfield(jax.random.key(1), 5)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(5), jnp.ones(5))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=4, operator=avt.ClipScale()
+    )
+    _, _, state = avt.optimize(key, alg, 5, target, q0)
+    p = str(tmp_path / "noext")
+    save_state(p, state)
+    template = alg.init(key, q0, target)
+    restored = restore_state(p, template)
+    assert int(jax.device_get(restored.iteration)) == 5
+
+
+def test_flow_paramspace_estimate_objective(key):
+    """ParamSpaceSGD.estimate_objective with a flow family must use the flow
+    objective (regression: crashed with AttributeError log_prob)."""
+    import optax
+
+    from advancedvi_jl_tpu.algorithms.paramspace import ParamSpaceSGD
+    from advancedvi_jl_tpu.optim.averaging import NoAveraging
+    from advancedvi_jl_tpu.optim.operators import IdentityOperator
+
+    target = avt.fn_target(lambda th, _: -0.5 * jnp.sum(th**2), dim=2)
+    q = avt.planar_flow(jax.random.key(1), dim=2, n_layers=2)
+    alg = ParamSpaceSGD(
+        objective=avt.FlowELBO(n_samples=16),
+        optimizer=optax.adam(1e-2),
+        averager=NoAveraging(),
+        operator=IdentityOperator(),
+    )
+    val = alg.estimate_objective(key, q, target, n_samples=1000)
+    assert np.isfinite(float(val))
+
+
+def test_transformed_distribution_batched_log_prob(key):
+    """Batched log_prob rows == per-row evaluation (regression: the batch's
+    summed Jacobian was subtracted from every row)."""
+    qt = avt.TransformedDistribution(
+        base=avt.MeanFieldGaussian(jnp.zeros(3), jnp.ones(3)),
+        transform=avt.Exp(),
+    )
+    ys = qt.sample(key, 4)
+    batched = np.asarray(qt.log_prob(ys))
+    rowwise = np.asarray([float(qt.log_prob(ys[i])) for i in range(4)])
+    np.testing.assert_allclose(batched, rowwise, rtol=1e-6)
