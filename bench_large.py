@@ -139,8 +139,62 @@ def bench_chains():
     )
 
 
+def bench_time_to_target_elbo():
+    """BASELINE primary metric #2: wall-clock to a target ELBO on the
+    flagship logreg model (target = within 1 nat of the converged ELBO)."""
+    import advancedvi_jl_tpu as avt
+    from advancedvi_jl_tpu.models.logreg import make_logreg
+
+    target = make_logreg(
+        jax.random.key(11), n_data=208, n_features=60
+    ).unconstrained()
+    d = 62
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=10, optimizer=optax.adam(1e-2),
+        operator=avt.ClipScale(),
+    )
+    TARGET_ELBO = -104.0  # converged ~-103 on this model/seed
+    CHUNK = 200
+
+    def chunk(s):
+        def body(c, _):
+            s2, info = alg.step(c)
+            return s2, info["elbo"]
+
+        return jax.lax.scan(body, s, None, length=CHUNK, unroll=4)
+
+    f = jax.jit(chunk)
+    state = alg.init(jax.random.key(0), q0, target)
+    state, el = f(state)  # compile outside the timing
+    _ = float(jax.device_get(el[-1]))
+
+    state = alg.init(jax.random.key(1), q0, target)
+    t0 = time.time()
+    steps = 0
+    reached = None
+    while steps < 100_000:
+        state, el = f(state)
+        steps += CHUNK
+        if float(jax.device_get(el[-1])) >= TARGET_ELBO:
+            reached = time.time() - t0
+            break
+    print(
+        json.dumps(
+            {
+                "metric": "wallclock_to_target_elbo_logreg",
+                "value": None if reached is None else round(reached, 4),
+                "unit": "s",
+                "target_elbo": TARGET_ELBO,
+                "steps": steps,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
     bench_bnn()
     bench_fullrank_pallas()
     bench_chains()
+    bench_time_to_target_elbo()

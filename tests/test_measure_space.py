@@ -204,3 +204,38 @@ def test_order2_oracle_uses_exact_path(quad, key):
     np.testing.assert_allclose(
         np.asarray(h), np.asarray(-2.0 * quad.A), rtol=1e-5
     )
+
+
+def test_float64_measure_space_subprocess():
+    """f64 policy (SURVEY hard part): measure-space algorithms run and
+    converge under jax_enable_x64 (separate process to avoid polluting the
+    suite's global x64 flag and jit caches)."""
+    import subprocess
+    import sys
+
+    script = """
+import os
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import advancedvi_jl_tpu as avt
+from advancedvi_jl_tpu.algorithms.measure_space import KLMinWassFwdBwd
+from advancedvi_jl_tpu.models.normal import normal_fullrank
+
+target, mu, L = normal_fullrank(jax.random.key(3), 5, dtype=jnp.float64)
+q0 = avt.FullRankGaussian(jnp.zeros(5, jnp.float64))
+alg = KLMinWassFwdBwd(stepsize=0.05, n_samples=16)
+out, infos, _ = avt.optimize(jax.random.key(0), alg, 300, target, q0)
+assert out.location.dtype == jnp.float64, out.location.dtype
+err = float(jnp.linalg.norm(out.location - mu))
+assert err < 0.2, err
+print("x64 OK", err)
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "x64 OK" in r.stdout
