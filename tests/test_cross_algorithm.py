@@ -1,0 +1,43 @@
+"""Cross-algorithm statistical agreement.
+
+Two independent algorithm families (parameter-space ADVI and measure-space
+natural-gradient descent) must recover the same posterior on the flagship
+logistic-regression model within MC error — a correctness cross-check with
+no shared code path beyond the model itself.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import advancedvi_jl_tpu as avt
+from advancedvi_jl_tpu.algorithms.measure_space import KLMinNaturalGradDescent
+from advancedvi_jl_tpu.models.logreg import make_logreg
+
+
+def test_advi_and_ngd_agree_on_logreg(key):
+    target = make_logreg(
+        jax.random.key(11), n_data=64, n_features=7
+    ).unconstrained()
+    d = 9
+
+    q0f = avt.FullRankGaussian(jnp.zeros(d), 0.1 * jnp.eye(d))
+    advi = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=32, optimizer=optax.adam(5e-3),
+        operator=avt.ClipScale(),
+    )
+    q_advi, _, _ = avt.optimize(key, advi, 4000, target, q0f)
+
+    ngd = KLMinNaturalGradDescent(stepsize=0.05, n_samples=32)
+    q_ngd, _, _ = avt.optimize(jax.random.key(9), ngd, 2000, target, q0f)
+
+    loc_a, loc_n = np.asarray(q_advi.location), np.asarray(q_ngd.location)
+    np.testing.assert_allclose(loc_a, loc_n, atol=0.15)
+    var_a, var_n = np.asarray(q_advi.var()), np.asarray(q_ngd.var())
+    np.testing.assert_allclose(var_a, var_n, rtol=0.35, atol=0.01)
+
+    # and both report comparable converged ELBOs
+    e_a = float(advi.estimate_objective(jax.random.key(3), q_advi, target, 20_000))
+    e_n = float(advi.estimate_objective(jax.random.key(3), q_ngd, target, 20_000))
+    assert abs(e_a - e_n) < 0.5, (e_a, e_n)
