@@ -33,7 +33,7 @@ from ..families.base import Normal
 from ..families.location_scale import FullRankLocationScale
 from ..objectives.entropy import MONTE_CARLO
 from ..objectives.repgradelbo import RepGradELBO
-from ..ops.sqrtm import inv_sqrtm_psd, sqrtm_psd
+from ..ops.sqrtm import sqrtm_psd
 from .gauss_expected import (
     check_capability_at_least_grad,
     gaussian_expected_grad_hess,
@@ -86,7 +86,10 @@ class MeasureSpaceAlgorithm:
 
     # protocol ------------------------------------------------------------
     def init(self, key: jax.Array, q_init, prob) -> MeasureSpaceState:
+        from ..core.problem import validate_pytree_target
+
         _check_q(q_init, self.name)
+        validate_pytree_target(prob)
         check_capability_at_least_grad(prob, self.name)
         sub_key, state_key = jax.random.split(key)
         sub_state = (
@@ -124,11 +127,9 @@ class MeasureSpaceAlgorithm:
             state.q, state.aux, grad, hess, it
         )
 
-        # All measure-space algorithms log elbo = E[log pi] + H(q')
-        # (the reference uses H(q') except BaM which logs H(q); the hook
-        # returns the entropy term to use).
-        ent = extra_info.pop("_entropy", q_new.entropy())
-        info["elbo"] = logpi_avg + ent
+        # All shared-skeleton algorithms log elbo = E[log pi] + H(q')
+        # (BaM overrides step() and logs H(q) itself, matching the reference).
+        info["elbo"] = logpi_avg + q_new.entropy()
         info.update(extra_info)
         info["diverged"] = ~jnp.isfinite(info["elbo"])
 
@@ -334,7 +335,7 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
         U = _symmetrize(lam * cov_g + w * jnp.outer(gbar, gbar))
         V = _symmetrize(sigma + lam * cov_z + w * jnp.outer(mumz, mumz))
 
-        W, _ = inv_sqrtm_psd(V)
+        W = sqrtm_psd(V)
         S = sqrtm_psd(
             jnp.eye(d, dtype=mu.dtype) + 4.0 * _symmetrize(W @ U @ W)
         )

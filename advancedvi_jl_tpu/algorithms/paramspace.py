@@ -72,18 +72,9 @@ def _validate_target(prob, objective) -> None:
     """
     from ..core.problem import ORDER_VALUE_ONLY, order_of
 
-    for leaf in jax.tree.leaves(prob):
-        if not isinstance(leaf, (jax.Array, jnp.ndarray, int, float, bool)):
-            import numpy as _np
+    from ..core.problem import validate_pytree_target
 
-            if isinstance(leaf, _np.ndarray):
-                continue
-            raise TypeError(
-                f"Target {type(prob).__name__} is not a jit-compatible "
-                f"pytree (leaf of type {type(leaf).__name__}). Define "
-                "targets with @pytree_dataclass (static_field for "
-                "non-array config) or use fn_target(...)."
-            )
+    validate_pytree_target(prob)
     inner = getattr(objective, "objective", objective)
     if isinstance(inner, RepGradELBO) and order_of(prob) <= ORDER_VALUE_ONLY:
         raise ValueError(
@@ -233,7 +224,7 @@ def KLMinRepGradProxDescent(
 
 def KLMinScoreGradDescent(
     optimizer: Optional[optax.GradientTransformation] = None,
-    n_samples: int = 1,
+    n_samples: int = 2,
     averager=None,
     operator=None,
     subsampling=None,

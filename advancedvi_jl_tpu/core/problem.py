@@ -81,6 +81,28 @@ def log_density_grad_and_hess(prob: Any, theta: jax.Array):
     return v, g, h
 
 
+def validate_pytree_target(prob: Any) -> None:
+    """Readable early error for non-jit-compatible targets.
+
+    Targets are threaded through jit / lax.scan as part of the algorithm
+    state; plain Python objects fail deep inside jit with an opaque pytree
+    error.  Accepts arrays, Python scalars, and numpy scalars/arrays.
+    """
+    import numpy as _np
+
+    for leaf in jax.tree.leaves(prob):
+        if isinstance(
+            leaf, (jax.Array, jnp.ndarray, int, float, bool, _np.ndarray, _np.generic)
+        ):
+            continue
+        raise TypeError(
+            f"Target {type(prob).__name__} is not a jit-compatible "
+            f"pytree (leaf of type {type(leaf).__name__}). Define "
+            "targets with @pytree_dataclass (static_field for "
+            "non-array config) or use fn_target(...)."
+        )
+
+
 def subsample(prob_or_q: Any, indices: jax.Array) -> Any:
     """Restrict a target (or an amortized q) to a minibatch.
 

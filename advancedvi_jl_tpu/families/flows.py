@@ -51,7 +51,7 @@ class PlanarFlowFamily:
     def _a_hat(self, w, a):
         wa = jnp.dot(w, a)
         m = jax.nn.softplus(wa) - 1.0
-        return a + (m - wa) * w / jnp.sum(jnp.square(w))
+        return a + (m - wa) * w / (jnp.sum(jnp.square(w)) + 1e-12)
 
     def sample_and_log_prob(self, key: jax.Array, n_samples: int):
         """Reparameterized samples and their log-density under q."""

@@ -222,9 +222,11 @@ def FullRankGaussian(
     location = jnp.asarray(location)
     if scale is None:
         scale = jnp.eye(location.shape[-1], dtype=location.dtype)
+    # Normalize to lower-triangular at construction so the stored parameters
+    # equal the effective ones (keeps optimizer distance metrics honest).
     return FullRankLocationScale(
         location=location,
-        scale=jnp.asarray(scale),
+        scale=jnp.tril(jnp.asarray(scale)),
         base=Normal(),
         sampler=sampler,
     )

@@ -27,18 +27,32 @@ from ..core.pytree import pytree_dataclass, static_field, tree_stop_gradient
 
 @pytree_dataclass
 class ScoreGradELBO:
-    n_samples: int = static_field(default=1)
+    n_samples: int = static_field(default=2)
     mc_axis: Optional[str] = static_field(default=None)
+
+    def __post_init__(self):
+        # The VarGrad loss is the sample variance of f = log q - log pi:
+        # with a single sample it is identically zero and every gradient
+        # vanishes — training would be a silent no-op (the reference inherits
+        # this trap from its n_samples=1 default; we reject it instead).
+        if self.n_samples < 2:
+            raise ValueError(
+                "ScoreGradELBO (VarGrad) needs n_samples >= 2: the "
+                "leave-one-out control variate is a sample variance, which "
+                f"is identically 0 for n_samples={self.n_samples}."
+            )
 
     def init(self, key, q, prob):
         return ()
 
-    def loss(self, q, prob, key: jax.Array) -> jax.Array:
-        """Differentiable VarGrad forward path.
+    def _loss_and_aux(self, q, prob, key: jax.Array):
+        """Differentiable VarGrad forward path (+ detached log-densities).
 
         Stop-gradient placement mirrors the reference exactly
         (scoregradelbo.jl:87-94): samples and log-pi are detached; only the
-        ``q.log_prob`` term carries gradients.
+        ``q.log_prob`` term carries gradients.  log_pi/log_q are returned as
+        aux so the ELBO info needs no second target evaluation — for
+        host-callback targets that halves the per-step round trips.
         """
         q_stop = tree_stop_gradient(q)
         samples = jax.lax.stop_gradient(q_stop.sample(key, self.n_samples))
@@ -47,16 +61,17 @@ class ScoreGradELBO:
         )
         log_q = q.log_prob(samples)
         f = log_q - log_pi
-        return (jnp.mean(jnp.square(f)) - jnp.square(jnp.mean(f))) / 2.0
+        vargrad = (jnp.mean(jnp.square(f)) - jnp.square(jnp.mean(f))) / 2.0
+        return vargrad, (log_pi, jax.lax.stop_gradient(log_q))
+
+    def loss(self, q, prob, key: jax.Array) -> jax.Array:
+        return self._loss_and_aux(q, prob, key)[0]
 
     def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):
         """(grad, obj_state, info) with info.elbo the plain ELBO estimate."""
-        vargrad, grad = jax.value_and_grad(self.loss)(q, prob, key)
-        # Re-derive the ELBO estimate on the same samples (cheap; XLA CSEs the
-        # duplicated sampling against the loss evaluation above).
-        samples = q.sample(key, self.n_samples)
-        log_pi = jax.vmap(prob.log_density)(samples)
-        log_q = q.log_prob(samples)
+        (vargrad, (log_pi, log_q)), grad = jax.value_and_grad(
+            self._loss_and_aux, has_aux=True
+        )(q, prob, key)
         info = {"elbo": jnp.mean(log_pi - log_q)}
         return grad, obj_state, info
 

@@ -65,9 +65,10 @@ class SubsampledObjective:
             return carry + val, None
 
         n_batches = batches.shape[0]
+        acc_dtype = jnp.result_type(*jax.tree.leaves(q))
         total, _ = jax.lax.scan(
             one_batch,
-            jnp.zeros((), dtype=q.location.dtype),
+            jnp.zeros((), dtype=acc_dtype),
             (jnp.arange(n_batches), batches),
         )
         return total / n_batches

@@ -45,8 +45,12 @@ class ClipScale:
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
         if isinstance(q, FullRankLocationScale):
             # Zero the diagonal then set the clamped values, so clamped
-            # entries are exactly eps (no catastrophic cancellation).
-            C = jnp.tril(q.scale)
+            # entries are exactly eps (no catastrophic cancellation).  The
+            # raw (possibly dense) scale is kept as-is off the diagonal: the
+            # strict upper triangle is inert by contract, and rewriting it
+            # (e.g. tril-masking) would perturb DoG/DoWG's global distance
+            # ||x - x0|| when the initial scale carried upper-triangle values.
+            C = q.scale
             diag = jnp.diag(C)
             C = C - jnp.diag(diag) + jnp.diag(jnp.maximum(diag, eps))
             return q.replace(scale=C)
@@ -83,7 +87,7 @@ class ProximalLocationScaleEntropy:
         if isinstance(q, MeanFieldLocationScale):
             return q.replace(scale_diag=prox(q.scale_diag))
         if isinstance(q, FullRankLocationScale):
-            C = jnp.tril(q.scale)
+            C = q.scale  # upper triangle inert; only the diagonal moves
             diag = jnp.diag(C)
             C = C + jnp.diag(prox(diag) - diag)
             return q.replace(scale=C)

@@ -215,3 +215,46 @@ def test_remat_matches_plain(meanfield_problem, key):
     np.testing.assert_allclose(
         float(i1["elbo"]), float(i2["elbo"]), rtol=1e-6
     )
+
+
+def test_scoregrad_n1_rejected():
+    """VarGrad with one sample is identically zero — must be rejected
+    (regression: silent no-op training)."""
+    with pytest.raises(ValueError, match="n_samples >= 2"):
+        avt.ScoreGradELBO(n_samples=1)
+    with pytest.raises(ValueError, match="n_samples >= 2"):
+        avt.KLMinScoreGradDescent(n_samples=1)
+
+
+def test_numpy_scalar_target_leaf_accepted(key):
+    """numpy scalar leaves are jit-compatible and must pass validation."""
+    target = avt.fn_target(
+        lambda th, s: -0.5 * jnp.sum(jnp.square(th)) * s,
+        dim=3,
+        data=np.float32(2.0),
+    )
+    q0 = avt.MeanFieldGaussian(jnp.zeros(3), jnp.ones(3))
+    alg = avt.KLMinRepGradDescent(n_samples=2, operator=avt.ClipScale())
+    _, infos, _ = avt.optimize(key, alg, 3, target, q0)
+    assert np.isfinite(infos[-1]["elbo"])
+
+
+def test_dowg_distance_unaffected_by_operator(key):
+    """Operators must not rewrite the inert upper triangle (regression: a
+    tril-mask inflated DoG/DoWG's ||x - x0|| by the initial upper-triangle
+    norm)."""
+    from advancedvi_jl_tpu.models.normal import normal_fullrank
+
+    target, _, _ = normal_fullrank(jax.random.key(3), 4)
+    # construct via the dataclass directly with a DENSE scale
+    dense = jnp.eye(4) + jnp.triu(jnp.full((4, 4), 7.0), 1)
+    q0 = avt.FullRankLocationScale(location=jnp.zeros(4), scale=dense)
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=4, operator=avt.ClipScale()
+    )
+    _, _, state = avt.optimize(key, alg, 5, target, q0)
+    # upper triangle unchanged by update (zero grads) AND by the operator
+    np.testing.assert_array_equal(
+        np.asarray(jnp.triu(state.q.scale, 1)),
+        np.asarray(jnp.triu(dense, 1)),
+    )
