@@ -13,7 +13,10 @@ import math
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import betaln, digamma
+# Host-side (Python-float) special functions: these normalization constants
+# depend only on the STATIC df, so they must not be staged into the trace
+# (jax.scipy.special under jit would turn them into traced subgraphs).
+from scipy.special import betaln, digamma
 
 from ..core.pytree import pytree_dataclass, static_field
 
