@@ -6,11 +6,17 @@ TPU-native redesign of ``MvLocationScaleLowRank``
 ``U`` (d, r).  Sampling is ``z = D u1 + U u2 + m`` with one (n, r) x (r, d)
 matmul for the factor term.
 
-``log_prob`` uses the Woodbury identity / matrix determinant lemma directly
-(O(d r^2 + r^3) per batch) instead of the reference's choice between a dense
-O(d^3) cholesky (differentiable path) and an AD-hostile in-place
-``lowrankupdate!`` (:45-68) — the Woodbury form is both differentiable and the
-fast path, so the reference's ``non_differntiable`` kwarg split disappears.
+``log_prob``/``entropy`` pick between two differentiable paths by STATIC
+dimension (jit-safe), replacing the reference's differentiable-vs-fast split
+(``non_differntiable`` kwarg, :45-68) with a conditioning-driven one:
+
+- dense (d <= _DENSE_LOGPROB_MAX_DIM): cholesky of Sigma = D^2 + U U^T.
+  O(d^3), but stable whenever Sigma itself is well-conditioned — in
+  particular when the optimizer drives an entry of D to the ClipScale floor
+  while U covers that direction (Sigma fine, D^-2 = 1e10: the Woodbury form
+  suffers catastrophic float32 cancellation there and returns -inf/garbage).
+- Woodbury (larger d): O(d r^2 + r^3) per batch via the matrix determinant
+  lemma; requires D bounded away from 0 relative to float precision.
 """
 
 from __future__ import annotations
@@ -24,6 +30,11 @@ from jax.scipy.linalg import cho_factor, cho_solve
 from ..core.pytree import pytree_dataclass, static_field
 from .base import Normal
 
+# Dense-cholesky log_prob/entropy below this dimension (stability); Woodbury
+# above it (speed). At d=512 one (d, d) cholesky is ~us on TPU, so the dense
+# path costs nothing for the d-range where VI families are full pytrees.
+_DENSE_LOGPROB_MAX_DIM = 512
+
 
 @pytree_dataclass
 class LowRankLocationScale:
@@ -31,6 +42,7 @@ class LowRankLocationScale:
     scale_diag: jax.Array  # (d,)
     scale_factors: jax.Array  # (d, r)
     base: Any = static_field(default=Normal())
+    sampler: str = static_field(default="xla")
 
     @property
     def dim(self) -> int:
@@ -41,6 +53,23 @@ class LowRankLocationScale:
         return self.scale_factors.shape[-1]
 
     def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
+        if self.sampler == "pallas":
+            from .location_scale import _check_pallas_ok
+
+            _check_pallas_ok(self)
+            from ..ops.pallas.location_scale_kernels import (
+                key_to_seed,
+                lowrank_sample,
+            )
+
+            z, _, _ = lowrank_sample(
+                key_to_seed(key),
+                self.location,
+                self.scale_diag,
+                self.scale_factors,
+                n_samples,
+            )
+            return z
         k1, k2 = jax.random.split(key)
         dtype = self.location.dtype
         u_diag = self.base.sample(k1, (n_samples, self.dim), dtype)
@@ -51,23 +80,35 @@ class LowRankLocationScale:
             + self.location
         )
 
-    def entropy(self) -> jax.Array:
+    def _chol_sigma(self) -> jax.Array:
+        """Cholesky of Sigma = D^2 + U U^T (dense path)."""
+        sigma = jnp.diag(jnp.square(self.scale_diag)) + (
+            self.scale_factors @ self.scale_factors.T
+        )
+        return jnp.linalg.cholesky(sigma)
+
+    def _logdet_sigma(self) -> jax.Array:
+        if self.dim <= _DENSE_LOGPROB_MAX_DIM:
+            return 2.0 * jnp.sum(jnp.log(jnp.diagonal(self._chol_sigma())))
         # Matrix determinant lemma:
         #   logdet(D^2 + U U^T) = 2 sum log D + logdet(I + U^T D^-2 U)
         # (reference: location_scale_low_rank.jl:35-43)
-        d = self.dim
         D2 = jnp.square(self.scale_diag)
         UtDinvU = self.scale_factors.T @ (self.scale_factors / D2[:, None])
         inner = jnp.eye(self.rank, dtype=D2.dtype) + UtDinvU
-        sign, logdet_inner = jnp.linalg.slogdet(inner)
-        logdet_sigma = 2.0 * jnp.sum(jnp.log(jnp.abs(self.scale_diag))) + logdet_inner
-        return (
-            d * jnp.asarray(self.base.entropy(), dtype=D2.dtype)
-            + 0.5 * logdet_sigma
-        )
+        _, logdet_inner = jnp.linalg.slogdet(inner)
+        return 2.0 * jnp.sum(jnp.log(jnp.abs(self.scale_diag))) + logdet_inner
+
+    def entropy(self) -> jax.Array:
+        d = self.dim
+        dtype = self.location.dtype
+        return d * jnp.asarray(
+            self.base.entropy(), dtype=dtype
+        ) + 0.5 * self._logdet_sigma()
 
     def log_prob(self, z: jax.Array) -> jax.Array:
-        """Gaussian-base log-density via Woodbury (O(d r^2) per sample).
+        """Gaussian-base log-density; dense-cholesky or Woodbury path by
+        static dimension (see module docstring).
 
         Exact for the Gaussian base (the reference's non-Gaussian low-rank
         logpdf path is only valid for Gaussian bases anyway, since D u1 + U u2
@@ -75,24 +116,34 @@ class LowRankLocationScale:
         """
         single = z.ndim == 1
         zb = z[None, :] if single else z  # (n, d)
-        D2 = jnp.square(self.scale_diag)
-        U = self.scale_factors
-        diff = zb - self.mean()  # (n, d)
-        # Sigma^-1 = D^-2 - D^-2 U (I + U^T D^-2 U)^-1 U^T D^-2
-        dinv2_diff = diff / D2  # (n, d)
-        w = dinv2_diff @ U  # (n, r)
-        inner = jnp.eye(self.rank, dtype=D2.dtype) + U.T @ (U / D2[:, None])
-        sol = cho_solve(cho_factor(inner), w.T).T  # (n, r)
-        quad = jnp.sum(diff * dinv2_diff, axis=-1) - jnp.sum(w * sol, axis=-1)
-        _, logdet_inner = jnp.linalg.slogdet(inner)
-        logdet_sigma = (
-            2.0 * jnp.sum(jnp.log(jnp.abs(self.scale_diag))) + logdet_inner
-        )
         d = self.dim
+        diff = zb - self.mean()  # (n, d)
+        dtype = self.location.dtype
+        if d <= _DENSE_LOGPROB_MAX_DIM:
+            L = self._chol_sigma()
+            v = jax.lax.linalg.triangular_solve(
+                L, diff.T, left_side=True, lower=True
+            )  # (d, n)
+            quad = jnp.sum(jnp.square(v), axis=0)
+            logdet_sigma = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+        else:
+            D2 = jnp.square(self.scale_diag)
+            U = self.scale_factors
+            # Sigma^-1 = D^-2 - D^-2 U (I + U^T D^-2 U)^-1 U^T D^-2
+            dinv2_diff = diff / D2  # (n, d)
+            w = dinv2_diff @ U  # (n, r)
+            inner = jnp.eye(self.rank, dtype=D2.dtype) + U.T @ (
+                U / D2[:, None]
+            )
+            sol = cho_solve(cho_factor(inner), w.T).T  # (n, r)
+            quad = jnp.sum(diff * dinv2_diff, axis=-1) - jnp.sum(
+                w * sol, axis=-1
+            )
+            logdet_sigma = self._logdet_sigma()
         out = -0.5 * (
             quad
             + logdet_sigma
-            + d * jnp.asarray(jnp.log(2.0 * jnp.pi), dtype=D2.dtype)
+            + d * jnp.asarray(jnp.log(2.0 * jnp.pi), dtype=dtype)
         )
         return out[0] if single else out
 

@@ -132,6 +132,51 @@ def _fullrank_sample_raw(seed, location, scale_tril, n, tile_n, interpret):
     return z[:n], u[:n]
 
 
+def _lowrank_kernel(seed_ref, loc_ref, sd_ref, fact_ref, z_ref, u1_ref, u2_ref):
+    s0, s1 = _mix_seed(seed_ref, pl.program_id(0))
+    pltpu.prng_seed(s0, s1)
+    u1 = _box_muller(u1_ref.shape)
+    u2 = _box_muller(u2_ref.shape)
+    u1_ref[:] = u1
+    u2_ref[:] = u2
+    z_ref[:] = (
+        u1 * sd_ref[:]
+        + jnp.dot(u2, fact_ref[:].T, preferred_element_type=jnp.float32)
+        + loc_ref[:]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile_n", "interpret"))
+def _lowrank_sample_raw(seed, location, scale_diag, scale_factors, n, tile_n,
+                        interpret):
+    d = location.shape[0]
+    r = scale_factors.shape[1]
+    grid = pl.cdiv(n, tile_n)
+    out = pl.pallas_call(
+        _lowrank_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, r), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((grid * tile_n, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid * tile_n, d), jnp.float32),
+            jax.ShapeDtypeStruct((grid * tile_n, r), jnp.float32),
+        ),
+        interpret=interpret,
+    )(seed, location, scale_diag, scale_factors)
+    z, u1, u2 = out
+    return z[:n], u1[:n], u2[:n]
+
+
 def key_to_seed(key: jax.Array) -> jax.Array:
     """(2,) int32 seed words from a jax PRNG key (for SMEM prefetch)."""
     data = jax.random.key_data(key).reshape(-1)[:2]
@@ -194,3 +239,36 @@ def _fr_bwd(n, tile_n, interpret, res, cts):
 
 
 fullrank_sample.defvjp(_fr_fwd, _fr_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def lowrank_sample(seed, location, scale_diag, scale_factors, n, tile_n=256,
+                   interpret=False):
+    """Fused z = u1 * D + u2 @ U^T + m (diag + low-rank path,
+    reference: location_scale_low_rank.jl:79-86); returns (z, u1, u2),
+    differentiable in (m, D, U)."""
+    return _lowrank_sample_raw(
+        seed, location, scale_diag, scale_factors, n, tile_n, interpret
+    )
+
+
+def _lr_fwd(seed, location, scale_diag, scale_factors, n, tile_n, interpret):
+    z, u1, u2 = _lowrank_sample_raw(
+        seed, location, scale_diag, scale_factors, n, tile_n, interpret
+    )
+    return (z, u1, u2), (u1, u2, seed.shape)
+
+
+def _lr_bwd(n, tile_n, interpret, res, cts):
+    u1, u2, seed_shape = res
+    ct_z = cts[0]  # u1/u2 are constants w.r.t. parameters
+    # z = u1 D + u2 U^T + m  =>  dD = sum(ct*u1), dU = ct^T u2, dm = sum ct
+    return (
+        _float0_zero(seed_shape),
+        jnp.sum(ct_z, axis=0),
+        jnp.sum(ct_z * u1, axis=0),
+        ct_z.T @ u2,
+    )
+
+
+lowrank_sample.defvjp(_lr_fwd, _lr_bwd)

@@ -97,3 +97,32 @@ def test_pallas_bwd_formulas():
         np.tril(np.asarray(ct_z).T @ np.asarray(u)),
         rtol=1e-5,
     )
+
+
+def test_pallas_lowrank_bwd_formulas():
+    """Low-rank fused-sampler VJP: z = u1 D + u2 U^T + m =>
+    dm = sum ct, dD = sum(ct * u1), dU = ct^T u2."""
+    from advancedvi_jl_tpu.ops.pallas.location_scale_kernels import _lr_bwd
+
+    rng = np.random.default_rng(2)
+    n, d, r = 16, 5, 3
+    u1 = np.asarray(rng.normal(size=(n, d)), np.float32)
+    u2 = np.asarray(rng.normal(size=(n, r)), np.float32)
+    ct_z = np.asarray(rng.normal(size=(n, d)), np.float32)
+    cts = (jnp.asarray(ct_z), jnp.zeros((n, d), jnp.float32),
+           jnp.zeros((n, r), jnp.float32))
+
+    _, dm, dD, dU = _lr_bwd(
+        n, 256, False, (jnp.asarray(u1), jnp.asarray(u2), (2,)), cts
+    )
+    np.testing.assert_allclose(np.asarray(dm), ct_z.sum(0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dD), (ct_z * u1).sum(0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dU), ct_z.T @ u2, rtol=1e-5)
+
+
+def test_pallas_lowrank_error_paths():
+    q = avt.LowRankGaussian(
+        jnp.zeros(4), jnp.ones(4), 0.1 * jnp.ones((4, 2))
+    ).replace(sampler="pallas", base=avt.Laplace())
+    with pytest.raises(ValueError, match="Normal base"):
+        q.sample(jax.random.key(0), 8)
