@@ -49,7 +49,13 @@ from .families.location_scale import (
     MeanFieldGaussian,
     MeanFieldLocationScale,
 )
-from .families.flows import FlowELBO, PlanarFlowFamily, planar_flow
+from .families.flows import (
+    FlowELBO,
+    PlanarFlowFamily,
+    RadialFlowFamily,
+    planar_flow,
+    radial_flow,
+)
 from .families.low_rank import LowRankGaussian, LowRankLocationScale
 from .objectives.entropy import (
     CLOSED_FORM,

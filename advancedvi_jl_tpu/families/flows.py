@@ -98,6 +98,86 @@ def planar_flow(
 
 
 @pytree_dataclass
+class RadialFlowFamily:
+    """Mean-field Gaussian base pushed through K radial-flow layers
+    (Rezende & Mohamed 2015, the reference tutorial's other flow):
+
+        f(z) = z + beta_hat * h(alpha, r) * (z - z0),   r = ||z - z0||,
+        h = 1 / (alpha + r)
+
+    with alpha = softplus(alpha_raw) > 0 and the invertibility
+    reparameterization beta_hat = -alpha + softplus(beta_raw) >= -alpha.
+    log|det J| = (d-1) log(1 + beta_hat h) + log(1 + beta_hat h - beta_hat
+    r / (alpha + r)^2)."""
+
+    base_location: jax.Array  # (d,)
+    base_scale_diag: jax.Array  # (d,)
+    z0: jax.Array  # (K, d)
+    alpha_raw: jax.Array  # (K,)
+    beta_raw: jax.Array  # (K,)
+
+    @property
+    def dim(self) -> int:
+        return self.base_location.shape[-1]
+
+    @property
+    def n_layers(self) -> int:
+        return self.z0.shape[0]
+
+    def sample_and_log_prob(self, key: jax.Array, n_samples: int):
+        d = self.dim
+        u = jax.random.normal(key, (n_samples, d), self.base_location.dtype)
+        z = u * self.base_scale_diag + self.base_location
+        logq = (
+            jnp.sum(-0.5 * jnp.square(u), axis=-1)
+            - 0.5 * d * math.log(2.0 * math.pi)
+            - jnp.sum(jnp.log(jnp.abs(self.base_scale_diag)))
+        )
+
+        def layer(carry, params):
+            z, logq = carry
+            z0, alpha_raw, beta_raw = params
+            alpha = jax.nn.softplus(alpha_raw)
+            beta = -alpha + jax.nn.softplus(beta_raw)
+            diff = z - z0  # (n, d)
+            r = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1) + 1e-12)  # (n,)
+            h = 1.0 / (alpha + r)
+            z_new = z + (beta * h)[:, None] * diff
+            bh = beta * h
+            # d/dr of h(r) = -1/(alpha+r)^2, so the radial eigenvalue is
+            # 1 + beta h + beta h'(r) r = 1 + beta h - beta r/(alpha+r)^2
+            radial = 1.0 + bh - beta * r / jnp.square(alpha + r)
+            logdet = (d - 1) * jnp.log(jnp.abs(1.0 + bh) + 1e-12) + jnp.log(
+                jnp.abs(radial) + 1e-12
+            )
+            return (z_new, logq - logdet), None
+
+        (z, logq), _ = jax.lax.scan(
+            layer, (z, logq), (self.z0, self.alpha_raw, self.beta_raw)
+        )
+        return z, logq
+
+    def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
+        return self.sample_and_log_prob(key, n_samples)[0]
+
+
+def radial_flow(
+    key: jax.Array, dim: int, n_layers: int = 8, dtype=jnp.float32
+) -> RadialFlowFamily:
+    """Fresh near-identity radial-flow family (beta ~ 0 at init)."""
+    kz = key
+    return RadialFlowFamily(
+        base_location=jnp.zeros(dim, dtype),
+        base_scale_diag=jnp.ones(dim, dtype),
+        z0=0.1 * jax.random.normal(kz, (n_layers, dim), dtype),
+        # softplus(1.0) ~ 1.31 => alpha ~ 1.31; beta_hat = -alpha +
+        # softplus(beta_raw) ~ 0 when softplus(beta_raw) ~ alpha
+        alpha_raw=jnp.full((n_layers,), 1.0, dtype),
+        beta_raw=jnp.full((n_layers,), 1.0, dtype),
+    )
+
+
+@pytree_dataclass
 class FlowELBO:
     """Monte-Carlo-entropy ELBO for families with ``sample_and_log_prob``.
 

@@ -105,3 +105,85 @@ def test_flow_vi_on_banana(key):
 
     assert np.isfinite(flow_elbo) and np.isfinite(gauss_elbo)
     assert flow_elbo > gauss_elbo + 0.05  # curvature captured by the flow
+
+
+def test_radial_flow_change_of_variables_vs_autodiff(key):
+    """Radial-flow accumulated log-density == base log N(u) - log|det J| with
+    the Jacobian of the full u -> z map computed by autodiff."""
+    import math
+    from advancedvi_jl_tpu.families.flows import radial_flow
+
+    d = 3
+    q = radial_flow(jax.random.key(2), dim=d, n_layers=4)
+    # perturb beta_raw so the flow is NOT identity (init has beta_hat = 0)
+    q = q.replace(beta_raw=q.beta_raw + jnp.asarray([0.5, -0.3, 0.8, 0.1]))
+
+    def push(u):
+        z = u * q.base_scale_diag + q.base_location
+
+        def layer(zz, params):
+            z0, alpha_raw, beta_raw = params
+            alpha = jax.nn.softplus(alpha_raw)
+            beta = -alpha + jax.nn.softplus(beta_raw)
+            diff = zz - z0
+            r = jnp.sqrt(jnp.sum(jnp.square(diff)) + 1e-12)
+            return zz + beta / (alpha + r) * diff, None
+
+        z, _ = jax.lax.scan(layer, z, (q.z0, q.alpha_raw, q.beta_raw))
+        return z
+
+    u = jax.random.normal(key, (d,))
+    J = jax.jacfwd(push)(u)
+    _, logdet = np.linalg.slogdet(np.asarray(J))
+    log_base = float(
+        jnp.sum(-0.5 * jnp.square(u))
+        - 0.5 * d * jnp.log(2.0 * jnp.pi)
+        - jnp.sum(jnp.log(jnp.abs(q.base_scale_diag)))
+    )
+    expected = log_base - logdet
+
+    # family bookkeeping: reproduce the same base draw by inverting the
+    # standardization (base is identity scale/loc at init, so z1 = u)
+    zs, logqs = q.sample_and_log_prob(key, 1)
+    # sample_and_log_prob uses jax.random.normal(key, (1, d)) — match it
+    u_used = jax.random.normal(key, (1, d))[0]
+    Ju = jax.jacfwd(push)(u_used)
+    _, logdet_u = np.linalg.slogdet(np.asarray(Ju))
+    log_base_u = float(
+        jnp.sum(-0.5 * jnp.square(u_used)) - 0.5 * d * jnp.log(2.0 * jnp.pi)
+    )
+    np.testing.assert_allclose(
+        float(logqs[0]), log_base_u - logdet_u, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(zs[0]), np.asarray(push(u_used)), rtol=1e-5
+    )
+
+
+def test_radial_flow_vi_improves_elbo(key):
+    """Radial-flow VI improves the ELBO over its initialization on a
+    correlated Gaussian target."""
+    from advancedvi_jl_tpu.families.flows import radial_flow
+    from advancedvi_jl_tpu.models.normal import normal_fullrank
+
+    target, mu, L = normal_fullrank(jax.random.key(9), 3)
+    q0 = radial_flow(jax.random.key(1), dim=3, n_layers=6)
+    alg = ParamSpaceSGD(
+        objective=FlowELBO(n_samples=32),
+        optimizer=optax.adam(1e-2),
+        averager=NoAveraging(),
+        operator=IdentityOperator(),
+    )
+    elbo0 = -float(
+        FlowELBO(n_samples=5000).estimate_objective(
+            jax.random.key(5), q0, target
+        )
+    )
+    out, infos, _ = avt.optimize(key, alg, 2000, target, q0)
+    elbo1 = -float(
+        FlowELBO(n_samples=5000).estimate_objective(
+            jax.random.key(5), out, target
+        )
+    )
+    assert elbo1 > elbo0 + 0.5, (elbo0, elbo1)
+    assert elbo1 > -0.5, elbo1  # near the optimum (ELBO = -KL <= 0)
