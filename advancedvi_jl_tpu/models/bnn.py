@@ -27,6 +27,13 @@ class BayesianMLP:
     hidden: int = static_field(default=32)
     noise_scale: float = static_field(default=0.1)
     data_axis: Optional[str] = static_field(default=None)
+    # Optional MXU-native matmul precision ("bfloat16"): inputs cast down,
+    # accumulation stays float32 (preferred_element_type). The posterior
+    # parameters, prior, and likelihood reduction remain float32 — only the
+    # forward-pass contractions run at bf16, where the MXU's native input
+    # format doubles matmul throughput. Opt in when the likelihood is
+    # matmul-dominated and ~3-digit predictions are acceptable.
+    compute_dtype: Optional[str] = static_field(default=None)
 
     @property
     def in_dim(self) -> int:
@@ -54,6 +61,20 @@ class BayesianMLP:
 
     def forward(self, theta: jax.Array, X: jax.Array) -> jax.Array:
         W1, b1, W2, b2 = self._unpack(theta)
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            h = jnp.dot(
+                X.astype(cd), W1.astype(cd),
+                preferred_element_type=jnp.float32,
+            )
+            hcore = jnp.tanh(h + b1)  # (n, h), float32
+            return (
+                jnp.dot(
+                    hcore.astype(cd), W2.astype(cd),
+                    preferred_element_type=jnp.float32,
+                )
+                + b2
+            )
         hcore = jnp.tanh(X @ W1 + b1)  # (n, h) — MXU matmul
         return hcore @ W2 + b2  # (n,)
 
@@ -76,13 +97,10 @@ class BayesianMLP:
 
     def subsample(self, indices: jax.Array) -> "BayesianMLP":
         n = self.X.shape[0]
-        return BayesianMLP(
+        return self.replace(
             X=jnp.take(self.X, indices, axis=0),
             y=jnp.take(self.y, indices, axis=0),
             likeadj=self.likeadj * (n / indices.shape[0]),
-            hidden=self.hidden,
-            noise_scale=self.noise_scale,
-            data_axis=self.data_axis,
         )
 
 

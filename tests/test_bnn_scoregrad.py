@@ -83,3 +83,21 @@ def test_scoregrad_variance_exceeds_repgrad(key):
     var_rep = g_rep.var(axis=0).sum()
     var_score = g_score.var(axis=0).sum()
     assert var_score > 2.0 * var_rep
+
+
+def test_bnn_bf16_compute_dtype(key):
+    """Opt-in bf16 matmul path: float32 in/out, close agreement with the f32
+    forward, and subsample() preserves the static field."""
+    from advancedvi_jl_tpu.models.bnn import make_bnn
+
+    bnn = make_bnn(jax.random.key(1), n_data=64, in_dim=8, hidden=16)
+    bnn16 = bnn.replace(compute_dtype="bfloat16")
+    theta = 0.1 * jax.random.normal(key, (bnn.dim,))
+    ld32 = float(bnn.log_density(theta))
+    ld16 = float(bnn16.log_density(theta))
+    assert bnn16.log_density(theta).dtype == jnp.float32
+    np.testing.assert_allclose(ld16, ld32, rtol=2e-2)
+
+    sub = bnn16.subsample(jnp.arange(16))
+    assert sub.compute_dtype == "bfloat16"
+    assert float(sub.likeadj) == 4.0
