@@ -139,6 +139,33 @@ def bench_chains():
     )
 
 
+def bench_normallognormal_fullrank():
+    """BASELINE measured config: full-rank Gaussian on the normal-lognormal
+    model with bijector-constrained support (Exp on the lognormal block)."""
+    import advancedvi_jl_tpu as avt
+    from advancedvi_jl_tpu.models.normallognormal import make_normallognormal
+
+    d = 10
+    model, mu_true, scale_true = make_normallognormal(jax.random.key(8), d)
+    target = model.unconstrained()
+    q0 = avt.FullRankGaussian(jnp.zeros(model.dim))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=10, optimizer=optax.adam(1e-3),
+        operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    sps, elbo = _time_chunk(alg, state, 2000, unroll=4)
+    print(
+        json.dumps(
+            {
+                "metric": "normallognormal_d10_fullrank_stl_steps_per_s",
+                "value": round(sps, 1),
+                "unit": "steps/s",
+            }
+        )
+    )
+
+
 def bench_time_to_target_elbo():
     """BASELINE primary metric #2: wall-clock to a target ELBO on the
     flagship logreg model (target = within 1 nat of the converged ELBO)."""
@@ -197,4 +224,5 @@ if __name__ == "__main__":
     bench_bnn()
     bench_fullrank_pallas()
     bench_chains()
+    bench_normallognormal_fullrank()
     bench_time_to_target_elbo()
