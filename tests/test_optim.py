@@ -147,3 +147,28 @@ def test_dowg_matches_manual_recursion(key):
         expected = -(r * r) / np.sqrt(v) * np.asarray(g)
         np.testing.assert_allclose(np.asarray(upd), expected, rtol=1e-5)
         x = optax.apply_updates(x, upd)
+
+
+def test_proximal_requires_extractable_stepsize(key):
+    """Proximal entropy + an optimizer without an extractable step size
+    (optax.adam) must raise (reference: proximal_location_scale_entropy.jl
+    stepsize_from_optimizer_state supports Descent/DoG/DoWG only)."""
+    import optax
+
+    from advancedvi_jl_tpu.models.normal import normal_meanfield
+
+    target, mu, L = normal_meanfield(jax.random.key(1), 3)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(3), jnp.ones(3))
+    alg = avt.KLMinRepGradProxDescent(n_samples=4, optimizer=optax.adam(1e-3))
+    with pytest.raises(ValueError, match="extractable"):
+        avt.optimize(key, alg, 3, target, q0)
+
+
+def test_unknown_entropy_estimator_raises(key):
+    from advancedvi_jl_tpu.models.normal import normal_meanfield
+
+    target, _, _ = normal_meanfield(jax.random.key(1), 3)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(3), jnp.ones(3))
+    obj = avt.RepGradELBO(n_samples=2, entropy="sticky_landing")  # typo
+    with pytest.raises(ValueError, match="unknown entropy"):
+        obj.value_and_grad(q0, target, key)
