@@ -126,3 +126,61 @@ def test_pallas_lowrank_error_paths():
     ).replace(sampler="pallas", base=avt.Laplace())
     with pytest.raises(ValueError, match="Normal base"):
         q.sample(jax.random.key(0), 8)
+
+
+def test_host_loader_feeds_optimize_end_to_end(key):
+    """Streaming pattern for beyond-HBM datasets: the C++ host loader draws
+    epoch-reshuffled minibatches in native threads; each batch is device_put
+    and swapped into the (static-shape) state via state.replace(prob=...) —
+    no retracing, warm state across batches. Converges to the analytic
+    Bayesian-linear-regression posterior mean."""
+    import optax
+
+    rng = np.random.default_rng(3)
+    n, d, b = 4096, 8, 512
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    w_true = rng.normal(size=(d,)).astype(np.float32)
+    y = (X @ w_true + 0.1 * rng.normal(size=(n,))).astype(np.float32)
+
+    # analytic posterior mean: (X^T X / s^2 + I)^-1 X^T y / s^2, s = 0.1
+    s2 = 0.01
+    post_mean = np.linalg.solve(X.T @ X / s2 + np.eye(d), X.T @ y / s2)
+
+    def logprior(theta):
+        return jnp.sum(-0.5 * jnp.square(theta))
+
+    def loglike(theta, data):
+        Xb, yb = data
+        resid = yb - Xb @ theta
+        return jnp.sum(-0.5 * jnp.square(resid) / s2)
+
+    template = avt.factorized_target(
+        logprior, loglike, data=(jnp.asarray(X), jnp.asarray(y)), dim=d
+    ).subsample(jnp.arange(b))  # static minibatch shape
+
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=8,
+        optimizer=optax.adam(2e-2), operator=avt.ClipScale(),
+    )
+    state = alg.init(key, q0, template)
+    step = jax.jit(alg.step)
+
+    dl = HostDataLoader(X, y, batchsize=b, seed=11)
+    likeadj = jnp.asarray(n / b, jnp.float32)
+    from advancedvi_jl_tpu.utils.profiling import retrace_guard
+
+    state, _ = step(state)  # warmup trace
+    with retrace_guard(step):
+        for _ in range(1200):
+            Xb, yb, idx = dl.next_batch()
+            prob = template.replace(
+                data=(jnp.asarray(Xb), jnp.asarray(yb[:, 0])),
+                likeadj=likeadj,
+            )
+            state = state.replace(prob=prob)
+            state, info = step(state)
+    assert np.isfinite(float(info["elbo"]))
+    out = alg.output(state)
+    err = np.linalg.norm(np.asarray(out.location) - post_mean)
+    assert err < 0.15 * np.linalg.norm(post_mean), err
