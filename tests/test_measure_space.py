@@ -239,3 +239,24 @@ print("x64 OK", err)
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "x64 OK" in r.stdout
+
+
+def test_measure_space_warm_start_equals_single_run(key):
+    """Split (10 + 10 iters via state=) == uninterrupted 20 iters, bitwise —
+    the reference's warm-start invariant, per measure-space algorithm
+    (test/general/optimize.jl:30-41 pattern)."""
+    target, _, _ = normal_fullrank(jax.random.key(3), 5)
+    q0 = avt.FullRankGaussian(jnp.zeros(5))
+    for alg in (
+        KLMinNaturalGradDescent(stepsize=0.05, n_samples=8),
+        KLMinWassFwdBwd(stepsize=0.05, n_samples=8),
+    ):
+        out_full, _, _ = avt.optimize(key, alg, 20, target, q0)
+        _, _, st = avt.optimize(key, alg, 10, target, q0)
+        out_split, _, _ = avt.optimize(key, alg, 10, target, q0, state=st)
+        np.testing.assert_array_equal(
+            np.asarray(out_full.location), np.asarray(out_split.location)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_full.scale), np.asarray(out_split.scale)
+        )
