@@ -49,6 +49,11 @@ from .families.location_scale import (
     MeanFieldGaussian,
     MeanFieldLocationScale,
 )
+from .families.mixture import (
+    MixtureELBO,
+    MixtureMeanField,
+    mixture_meanfield,
+)
 from .families.flows import (
     FlowELBO,
     PlanarFlowFamily,

@@ -1,0 +1,183 @@
+"""Mixture-of-location-scale variational family + stratified ELBO.
+
+Beyond the reference surface (AdvancedVI.jl has no mixture family — SURVEY.md
+§2.7 maps expert parallelism to "mixture components if added"): a K-component
+mean-field mixture
+
+    q(z) = sum_k w_k N(z; m_k, diag(s_k)^2),   w = softmax(logits)
+
+with the **stratified** ELBO
+
+    ELBO = sum_k w_k E_{z ~ q_k}[log pi(z) - log q(z)]
+
+estimated with n reparameterized draws from EVERY component (a (K, n, d)
+batch). Every term is pathwise-differentiable — including the weights, which
+appear (a) explicitly in the outer sum and (b) inside log q — so the gradient
+is unbiased with no score-function/Gumbel machinery. The sticking-the-landing
+variant stops the gradient through log q's parameters; the dropped score term
+has zero expectation under the mixture (E_q[∇ log q] = 0), exactly as for the
+single-component STL (reference: src/algorithms/entropy.jl STL rationale).
+
+The component axis is the expert-parallel axis: pass ``ep_axis`` to shard the
+(K, n, d) stratified batch over a mesh axis — each device evaluates its own
+components' energies; GSPMD inserts the reduction.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pytree import pytree_dataclass, static_field, tree_stop_gradient
+
+
+@pytree_dataclass
+class MixtureMeanField:
+    """K-component mean-field Gaussian mixture (pytree = parameters)."""
+
+    logits: jax.Array  # (K,)
+    locations: jax.Array  # (K, d)
+    scale_diags: jax.Array  # (K, d)
+
+    @property
+    def dim(self) -> int:
+        return self.locations.shape[-1]
+
+    @property
+    def n_components(self) -> int:
+        return self.locations.shape[0]
+
+    def weights(self) -> jax.Array:
+        return jax.nn.softmax(self.logits)
+
+    def sample_stratified(self, key: jax.Array, n_per_component: int):
+        """(K, n, d) reparameterized draws, n from each component."""
+        K, d = self.locations.shape
+        u = jax.random.normal(
+            key, (K, n_per_component, d), self.locations.dtype
+        )
+        return u * self.scale_diags[:, None, :] + self.locations[:, None, :]
+
+    def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
+        """Ancestral draws (generation / diagnostics; not the training path)."""
+        kc, kz = jax.random.split(key)
+        comps = jax.random.categorical(kc, self.logits, shape=(n_samples,))
+        u = jax.random.normal(
+            kz, (n_samples, self.dim), self.locations.dtype
+        )
+        return (
+            u * self.scale_diags[comps] + self.locations[comps]
+        )
+
+    def log_prob(self, z: jax.Array) -> jax.Array:
+        """log sum_k w_k N(z; m_k, s_k) via logsumexp; z (..., d)."""
+        d = self.dim
+        diff = (
+            z[..., None, :] - self.locations
+        ) / self.scale_diags  # (..., K, d)
+        comp_lp = (
+            -0.5 * jnp.sum(jnp.square(diff), axis=-1)
+            - jnp.sum(jnp.log(jnp.abs(self.scale_diags)), axis=-1)
+            - 0.5 * d * math.log(2.0 * math.pi)
+        )  # (..., K)
+        logw = jax.nn.log_softmax(self.logits)
+        return jax.nn.logsumexp(comp_lp + logw, axis=-1)
+
+    def mean(self) -> jax.Array:
+        return jnp.einsum("k,kd->d", self.weights(), self.locations)
+
+    def var(self) -> jax.Array:
+        w = self.weights()
+        m = self.mean()
+        second = jnp.einsum(
+            "k,kd->d",
+            w,
+            jnp.square(self.scale_diags) + jnp.square(self.locations),
+        )
+        return second - jnp.square(m)
+
+    def cov(self) -> jax.Array:
+        w = self.weights()
+        m = self.mean()
+        cov = jnp.einsum(
+            "k,kd,ke->de", w, self.locations, self.locations
+        ) - jnp.outer(m, m)
+        return cov + jnp.diag(
+            jnp.einsum("k,kd->d", w, jnp.square(self.scale_diags))
+        )
+
+
+def mixture_meanfield(
+    key: jax.Array,
+    dim: int,
+    n_components: int,
+    init_scale: float = 1.0,
+    spread: float = 1.0,
+    dtype=jnp.float32,
+) -> MixtureMeanField:
+    """Fresh mixture: components jittered around the origin, equal weights."""
+    locs = spread * jax.random.normal(key, (n_components, dim), dtype)
+    return MixtureMeanField(
+        logits=jnp.zeros(n_components, dtype),
+        locations=locs,
+        scale_diags=jnp.full((n_components, dim), init_scale, dtype),
+    )
+
+
+@pytree_dataclass
+class MixtureELBO:
+    """Stratified-sampling ELBO for mixture families (drop-in ParamSpaceSGD
+    objective).
+
+    Args:
+      n_samples: reparameterized draws PER COMPONENT per step.
+      entropy: "monte_carlo" (log q differentiated) or "stl" (log q's
+        parameters stopped — path derivative only; zero-mean dropped term).
+      ep_axis: optional mesh axis to shard the component axis over
+        (expert parallelism).
+    """
+
+    n_samples: int = static_field(default=4)
+    entropy: str = static_field(default="stl")
+    ep_axis: Optional[str] = static_field(default=None)
+
+    def init(self, key, q, prob):
+        return ()
+
+    def loss(self, q, prob, key: jax.Array) -> jax.Array:
+        if self.entropy not in ("monte_carlo", "stl"):
+            raise ValueError(
+                f"unknown mixture entropy estimator: {self.entropy!r} "
+                "(supported: 'monte_carlo', 'stl')"
+            )
+        z = q.sample_stratified(key, self.n_samples)  # (K, n, d)
+        if self.ep_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            z = jax.lax.with_sharding_constraint(
+                z, P(self.ep_axis, None, None)
+            )
+        q_for_logq = tree_stop_gradient(q) if self.entropy == "stl" else q
+        logq = q_for_logq.log_prob(z)  # (K, n)
+        energy = jax.vmap(jax.vmap(prob.log_density))(z)  # (K, n)
+        per_comp = jnp.mean(energy - logq, axis=1)  # (K,)
+        return -jnp.sum(q.weights() * per_comp)
+
+    def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):
+        from ..core.problem import maybe_wrap_custom_grad
+
+        prob = maybe_wrap_custom_grad(prob)
+        nelbo, grad = jax.value_and_grad(self.loss)(q, prob, key)
+        return grad, obj_state, {"elbo": -nelbo}
+
+    def estimate_objective(
+        self, key: jax.Array, q, prob, n_samples: Optional[int] = None
+    ) -> jax.Array:
+        n = self.n_samples if n_samples is None else n_samples
+        obj = MixtureELBO(
+            n_samples=n, entropy="monte_carlo", ep_axis=self.ep_axis
+        )
+        return obj.loss(q, prob, key)

@@ -18,6 +18,7 @@ from ..families.location_scale import (
     MeanFieldLocationScale,
 )
 from ..families.low_rank import LowRankLocationScale
+from ..families.mixture import MixtureMeanField
 from .rules import stepsize_from_opt_state
 
 
@@ -56,6 +57,8 @@ class ClipScale:
             return q.replace(scale=C)
         if isinstance(q, LowRankLocationScale):
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
+        if isinstance(q, MixtureMeanField):
+            return q.replace(scale_diags=jnp.maximum(q.scale_diags, eps))
         raise TypeError(
             f"ClipScale is not defined for family {type(q).__name__}"
         )
