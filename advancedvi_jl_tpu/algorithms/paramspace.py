@@ -35,7 +35,6 @@ from ..objectives.scoregradelbo import ScoreGradELBO
 from ..objectives.subsampled import SubsampledObjective
 from ..optim.averaging import PolynomialAveraging
 from ..optim.operators import (
-    ClipScale,
     IdentityOperator,
     ProximalLocationScaleEntropy,
 )

@@ -23,7 +23,6 @@ from functools import partial
 from typing import Callable
 
 import jax
-import numpy as np
 
 from .problem import ORDER_GRAD, ORDER_VALUE_ONLY
 from .pytree import pytree_dataclass, static_field

@@ -21,7 +21,7 @@ from advancedvi_jl_tpu.algorithms.measure_space import (
     KLMinWassFwdBwd,
 )
 from advancedvi_jl_tpu.core.problem import ORDER_GRAD
-from advancedvi_jl_tpu.core.pytree import pytree_dataclass, static_field
+from advancedvi_jl_tpu.core.pytree import pytree_dataclass
 from advancedvi_jl_tpu.models.normal import normal_fullrank
 
 
