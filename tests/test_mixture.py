@@ -160,3 +160,31 @@ def test_mixture_ep_sharding_matches_single_device(key):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+def test_mixture_composes_with_subsampling(key):
+    """MixtureELBO is a regular objective: SubsampledObjective wraps it
+    unchanged (epoch schedule + likelihood rescaling + static shapes)."""
+    rng = np.random.default_rng(0)
+    n = 64
+    ys = jnp.asarray(rng.normal(-1.0, 0.5, n).astype(np.float32))
+    target = avt.factorized_target(
+        logprior_fn=lambda th: jnp.sum(-0.5 * jnp.square(th / 5.0)),
+        loglike_fn=lambda th, y: jnp.sum(-0.5 * jnp.square(y - th[0])),
+        data=ys,
+        dim=1,
+    )
+    sub = avt.ReshufflingBatchSubsampling(n_data=n, batchsize=16)
+    obj = avt.SubsampledObjective(
+        objective=avt.MixtureELBO(n_samples=8), subsampling=sub
+    )
+    alg = ParamSpaceSGD(
+        objective=obj, optimizer=optax.adam(2e-2),
+        averager=avt.NoAveraging(), operator=avt.ClipScale(),
+    )
+    q0 = avt.mixture_meanfield(jax.random.key(1), dim=1, n_components=2)
+    out, infos, _ = avt.optimize(key, alg, 400, target, q0)
+    assert "epoch" in infos[-1]
+    # exact posterior mean of the conjugate normal model
+    post_mean = float(jnp.sum(ys) / (n + 1.0 / 25.0))
+    np.testing.assert_allclose(float(out.mean()[0]), post_mean, atol=0.1)
