@@ -33,7 +33,6 @@ from ..families.base import Normal
 from ..families.location_scale import FullRankLocationScale
 from ..objectives.entropy import MONTE_CARLO
 from ..objectives.repgradelbo import RepGradELBO
-from ..ops.sqrtm import sqrtm_psd
 from .gauss_expected import (
     check_capability_at_least_grad,
     gaussian_expected_grad_hess,
@@ -281,9 +280,24 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
 
     Moment-matching update with schedule lam_t = d * n / t
     (reference: fisherminbatchmatch.jl:40-195).  The backward map
-    Sigma' = 2 V (I + sqrt(I + 4 U V))^-1 is evaluated in the symmetric form
-    Sigma' = 2 W (I + S)^-1 W with W = V^{1/2}, S = (I + 4 W U W)^{1/2} —
-    two eigh calls on (d, d), everything else MXU matmuls.
+    Sigma' = 2 V (I + sqrt(I + 4 U V))^-1 is evaluated in **factored form**:
+    for ANY factor V = F F^T,
+
+        Sigma' = 2 F (I + sqrt(I + 4 F^T U F))^-1 F^T
+
+    (verified by the defining equation Sigma' U Sigma' + Sigma' = V: with
+    T = F^T U F, S = sqrt(I + 4T), M = 2(I+S)^-1, one checks M T M + M = I).
+    Both U and the increment of V are rank-(n+1) by construction
+    (U = G G^T from the score moments, V = C C^T + E E^T from the sample
+    moments), so every matrix function reduces to a thin SVD of a (d, n+1)
+    matrix — identity-plus-low-rank corrections whose null directions are
+    EXACT. The naive dense form (W = sqrtm(V), sqrt(I + 4 W U W)) forms
+    intermediates of magnitude lam^2 ~ (d n / t)^2 early on, and float32
+    eigh error (eps * ||M||) destroys the O(1) eigenvalues of exactly the
+    sample-starved directions — measured: sigma's min eigenvalue collapsed
+    ~10x per step at d=256, n=32 until cholesky produced NaN. The factored
+    form is also cheaper: two (d, n+1) SVDs + one cholesky instead of two
+    (d, d) eighs + cholesky.
     """
 
     name = "FisherMinBatchMatch"
@@ -291,16 +305,13 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
     def __init__(self, n_samples: int = 32, subsampling=None):
         super().__init__(n_samples=n_samples, subsampling=subsampling)
 
-    def _init_aux(self, q):
-        return q.cov()
-
     def step(self, state: MeasureSpaceState):
         # BaM draws its own (u, z) pairs and needs per-sample gradients, so it
         # overrides the shared grad/hess skeleton
         # (reference: rand_batch_match_samples_with_objective!, :101-129).
         it = state.iteration + 1
         step_key = jax.random.fold_in(state.key, state.iteration)
-        q, sigma = state.q, state.aux
+        q = state.q
         n = self.n_samples
         d = q.dim
 
@@ -308,7 +319,7 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
         info = dict(info)
 
         mu = q.location
-        C = q.tril_scale()
+        C = q.tril_scale()  # cholesky factor of the current sigma
         u = q.base.sample(step_key, (n, d), mu.dtype)
         z = u @ C.T + mu
 
@@ -325,27 +336,42 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
         gbar = jnp.mean(grads, axis=0)
         zc = z - zbar
         gc = grads - gbar
-        cov_z = (zc.T @ zc) / (n - 1)
-        cov_g = (gc.T @ gc) / (n - 1)
 
         lam = jnp.asarray(d * n, mu.dtype) / it.astype(mu.dtype)
         w = lam / (1.0 + lam)
         mumz = mu - zbar
 
-        U = _symmetrize(lam * cov_g + w * jnp.outer(gbar, gbar))
-        V = _symmetrize(sigma + lam * cov_z + w * jnp.outer(mumz, mumz))
+        # U = G G^T,  V = sigma + E E^T = C C^T + E E^T   (rank-(n+1) factors)
+        sl = jnp.sqrt(lam / (n - 1))
+        G = jnp.concatenate(
+            [sl * gc, jnp.sqrt(w) * gbar[None, :]], axis=0
+        ).T  # (d, n+1)
+        E = jnp.concatenate(
+            [sl * zc, jnp.sqrt(w) * mumz[None, :]], axis=0
+        ).T  # (d, n+1)
 
-        W = sqrtm_psd(V)
-        S = sqrtm_psd(
-            jnp.eye(d, dtype=mu.dtype) + 4.0 * _symmetrize(W @ U @ W)
-        )
-        IpS = jnp.eye(d, dtype=mu.dtype) + S
-        sigma_new = _symmetrize(
-            2.0 * (W @ cho_solve(cho_factor(IpS, lower=True), W))
-        )
-        mu_new = (mu + lam * (sigma_new @ gbar + zbar)) / (1.0 + lam)
+        # Factor F with V = F F^T: F = C (I + P1 (sqrt(1+s1^2)-1) P1^T)
+        # where C^-1 E = P1 diag(s1) Q1^T (thin SVD).
+        Et = jax.lax.linalg.triangular_solve(
+            C, E, left_side=True, lower=True
+        )  # C^-1 E, (d, k)
+        P1, s1, _ = jnp.linalg.svd(Et, full_matrices=False)
+        F = C + (C @ P1) * (jnp.sqrt(1.0 + jnp.square(s1)) - 1.0) @ P1.T
 
-        scale_new = jnp.linalg.cholesky(sigma_new)
+        # M^{1/2} with M = 2 (I + sqrt(I + 4 F^T U F))^-1:
+        # F^T G = P2 diag(s2) Q2^T  =>  sqrt(I + 4 T) = I + P2 (r2 - 1) P2^T,
+        # M^{1/2} = I - P2 (1 - sqrt(2/(1+r2))) P2^T,  r2 = sqrt(1 + 4 s2^2).
+        B = F.T @ G  # (d, k)
+        P2, s2, _ = jnp.linalg.svd(B, full_matrices=False)
+        r2 = jnp.sqrt(1.0 + 4.0 * jnp.square(s2))
+        F_new = F - (F @ P2) * (1.0 - jnp.sqrt(2.0 / (1.0 + r2))) @ P2.T
+
+        # sigma_new = F_new F_new^T, applied as an operator for the mean step
+        mu_new = (
+            mu + lam * (F_new @ (F_new.T @ gbar) + zbar)
+        ) / (1.0 + lam)
+
+        scale_new = jnp.linalg.cholesky(_symmetrize(F_new @ F_new.T))
         q_new = q.replace(location=mu_new, scale=scale_new)
 
         # BaM logs the entropy of the *pre-update* q (reference :157).
@@ -356,7 +382,7 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
         new_state = MeasureSpaceState(
             q=q_new,
             prob=state.prob,
-            aux=sigma_new,
+            aux=state.aux,
             iteration=it,
             sub_state=sub_state,
             key=state.key,

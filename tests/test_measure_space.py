@@ -22,7 +22,7 @@ from advancedvi_jl_tpu.algorithms.measure_space import (
 )
 from advancedvi_jl_tpu.core.problem import ORDER_GRAD
 from advancedvi_jl_tpu.core.pytree import pytree_dataclass
-from advancedvi_jl_tpu.models.normal import normal_fullrank
+from advancedvi_jl_tpu.models.normal import NormalTarget, normal_fullrank
 
 
 @pytree_dataclass
@@ -223,7 +223,7 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import advancedvi_jl_tpu as avt
 from advancedvi_jl_tpu.algorithms.measure_space import KLMinWassFwdBwd
-from advancedvi_jl_tpu.models.normal import normal_fullrank
+from advancedvi_jl_tpu.models.normal import NormalTarget, normal_fullrank
 
 target, mu, L = normal_fullrank(jax.random.key(3), 5, dtype=jnp.float64)
 q0 = avt.FullRankGaussian(jnp.zeros(5, jnp.float64))
@@ -260,3 +260,26 @@ def test_measure_space_warm_start_equals_single_run(key):
         np.testing.assert_array_equal(
             np.asarray(out_full.scale), np.asarray(out_split.scale)
         )
+
+
+def test_bam_f32_large_d_no_collapse(key):
+    """Regression: the dense symmetric-form BaM update formed lam^2-scaled
+    intermediates whose float32 eigh error collapsed sigma's small
+    eigenvalues ~10x per step at d >> n (NaN cholesky by step ~4 at d=256,
+    n=32). The factored (thin-SVD) form must stay finite with a healthy
+    spectrum."""
+    d, n = 256, 32
+    k1, k2 = jax.random.split(jax.random.key(3))
+    mu = jax.random.normal(k1, (d,))
+    A = (0.3 / d**0.5) * jax.random.normal(k2, (d, d))
+    L = jnp.tril(A, -1) + jnp.eye(d)
+    target = NormalTarget(mu=mu, scale_tril=L)
+    q0 = avt.FullRankGaussian(jnp.zeros(d))
+    alg = FisherMinBatchMatch(n_samples=n)
+    state = alg.init(key, q0, target)
+    step = jax.jit(alg.step)
+    for _ in range(150):
+        state, info = step(state)
+        assert np.isfinite(float(info["elbo"]))
+    sigma = state.q.scale @ state.q.scale.T
+    assert float(jnp.linalg.eigvalsh(sigma)[0]) > 1e-4
