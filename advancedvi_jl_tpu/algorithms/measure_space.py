@@ -248,14 +248,30 @@ class KLMinWassFwdBwd(MeasureSpaceAlgorithm):
 
     TPU-native: Sigma_half and Sigma_half + 4 eta I commute, so the prox is a
     SINGLE symmetric eigendecomposition with the eigenvalue map
-    lam' = (lam + 2 eta + sqrt(lam (lam + 4 eta)))/2 — no general sqrtm needed.
+    lam' = (lam + 2 eta + sqrt(lam (lam + 4 eta)))/2 — no general sqrtm
+    needed.  ``sqrtm="newton_schulz"`` replaces the eigh (slow on TPU) with
+    the matmul-only Newton-Schulz iteration for
+    sqrtm(Sigma_half^2 + 4 eta Sigma_half) — pure MXU work; the +2 eta I
+    term keeps the prox eigenvalues >= eta, so the iteration's small
+    approximation error cannot break positive-definiteness.
     """
 
     name = "KLMinWassFwdBwd"
 
-    def __init__(self, stepsize: float, n_samples: int = 1, subsampling=None):
+    def __init__(
+        self,
+        stepsize: float,
+        n_samples: int = 1,
+        subsampling=None,
+        sqrtm: str = "eigh",
+    ):
         super().__init__(n_samples=n_samples, subsampling=subsampling)
         self.stepsize = stepsize
+        if sqrtm not in ("eigh", "newton_schulz"):
+            raise ValueError(
+                f"sqrtm must be 'eigh' or 'newton_schulz', got {sqrtm!r}"
+            )
+        self.sqrtm = sqrtm
 
     def _init_aux(self, q):
         return q.cov()
@@ -266,10 +282,23 @@ class KLMinWassFwdBwd(MeasureSpaceAlgorithm):
         m_new = q.location + eta * grad
         M = jnp.eye(d, dtype=sigma.dtype) + eta * hess.T
         sigma_half = _symmetrize(M @ sigma @ M.T)
-        lam, V = jnp.linalg.eigh(sigma_half)
-        lam = jnp.maximum(lam, 0.0)
-        lam_new = (lam + 2.0 * eta + jnp.sqrt(lam * (lam + 4.0 * eta))) / 2.0
-        sigma_new = _symmetrize((V * lam_new) @ V.T)
+        if self.sqrtm == "newton_schulz":
+            from ..ops.sqrtm import sqrtm_newton_schulz
+
+            S = sqrtm_newton_schulz(
+                _symmetrize(sigma_half @ sigma_half + 4.0 * eta * sigma_half)
+            )
+            sigma_new = _symmetrize(
+                (sigma_half + 2.0 * eta * jnp.eye(d, dtype=sigma.dtype) + S)
+                / 2.0
+            )
+        else:
+            lam, V = jnp.linalg.eigh(sigma_half)
+            lam = jnp.maximum(lam, 0.0)
+            lam_new = (
+                lam + 2.0 * eta + jnp.sqrt(lam * (lam + 4.0 * eta))
+            ) / 2.0
+            sigma_new = _symmetrize((V * lam_new) @ V.T)
         scale_new = jnp.linalg.cholesky(sigma_new)
         q_new = q.replace(location=m_new, scale=scale_new)
         return q_new, sigma_new, {}
