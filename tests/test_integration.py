@@ -251,3 +251,54 @@ def test_transformed_distribution_batched_log_prob(key):
     batched = np.asarray(qt.log_prob(ys))
     rowwise = np.asarray([float(qt.log_prob(ys[i])) for i in range(4)])
     np.testing.assert_allclose(batched, rowwise, rtol=1e-6)
+
+
+def test_checkpoint_roundtrip_all_family_types(tmp_path, key):
+    """save/restore resumes bitwise-identically for every family pytree
+    shape: mixtures (logits + (K,d) blocks), flows (scan-stacked layer
+    params), low-rank (factor matrices)."""
+    import optax
+
+    from advancedvi_jl_tpu.models.normal import normal_fullrank
+
+    target, mu, L = normal_fullrank(jax.random.key(3), 4)
+    cases = {
+        "mixture": (
+            avt.mixture_meanfield(jax.random.key(1), dim=4, n_components=3),
+            avt.ParamSpaceSGD(
+                objective=avt.MixtureELBO(n_samples=4),
+                optimizer=optax.adam(1e-2),
+                averager=avt.NoAveraging(),
+                operator=avt.ClipScale(),
+            ),
+        ),
+        "planar_flow": (
+            avt.planar_flow(jax.random.key(2), dim=4, n_layers=3),
+            avt.ParamSpaceSGD(
+                objective=avt.FlowELBO(n_samples=4),
+                optimizer=optax.adam(1e-2),
+                averager=avt.NoAveraging(),
+                operator=avt.IdentityOperator(),
+            ),
+        ),
+        "lowrank": (
+            avt.LowRankGaussian(
+                jnp.zeros(4), jnp.ones(4), 0.1 * jnp.ones((4, 2))
+            ),
+            avt.KLMinRepGradDescent(
+                entropy=avt.STL, n_samples=4, operator=avt.ClipScale()
+            ),
+        ),
+    }
+    for name, (q0, alg) in cases.items():
+        out_full, _, _ = avt.optimize(key, alg, 20, target, q0)
+        _, _, st = avt.optimize(key, alg, 10, target, q0)
+        path = str(tmp_path / f"{name}.npz")
+        save_state(path, st)
+        template = alg.init(key, q0, target)
+        st2 = restore_state(path, template)
+        out_resumed, _, _ = avt.optimize(key, alg, 10, target, q0, state=st2)
+        for a, b in zip(
+            jax.tree.leaves(out_full), jax.tree.leaves(out_resumed)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
