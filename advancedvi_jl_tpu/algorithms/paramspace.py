@@ -167,6 +167,7 @@ def KLMinRepGradDescent(
     operator=None,
     subsampling=None,
     mc_axis: Optional[str] = None,
+    antithetic: bool = False,
 ) -> ParamSpaceSGD:
     """ADVI: SGD on the reparameterization-gradient ELBO
     (reference: constructors.jl:44-79; defaults DoWG + polynomial averaging).
@@ -177,7 +178,10 @@ def KLMinRepGradDescent(
             f"entropy, got {entropy!r}; use KLMinRepGradProxDescent for "
             "zero-gradient variants."
         )
-    objective = RepGradELBO(n_samples=n_samples, entropy=entropy, mc_axis=mc_axis)
+    objective = RepGradELBO(
+        n_samples=n_samples, entropy=entropy, mc_axis=mc_axis,
+        antithetic=antithetic,
+    )
     if subsampling is not None:
         objective = SubsampledObjective(objective=objective, subsampling=subsampling)
     return ParamSpaceSGD(

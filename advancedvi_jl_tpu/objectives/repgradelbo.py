@@ -56,9 +56,31 @@ class RepGradELBO:
     # storing activations — trades FLOPs for HBM on large models (deep BNNs
     # with many samples), the standard jax.checkpoint pattern.
     remat: bool = static_field(default=False)
+    # Antithetic sampling (beyond the reference surface): draw n/2 samples
+    # and mirror them through the location, z' = 2 m - z. Valid for
+    # location-scale families with a symmetric base (z = C u + m with
+    # -u ~ u); the estimator stays unbiased and the energy-term variance
+    # drops substantially when log pi is near-linear over q's support.
+    antithetic: bool = static_field(default=False)
 
     def init(self, key, q, prob):
         return ()  # stateless: jit caching replaces AD preparation
+
+    def _draw(self, q, key: jax.Array) -> jax.Array:
+        if not self.antithetic:
+            return q.sample(key, self.n_samples)
+        if self.n_samples % 2 != 0:
+            raise ValueError(
+                "antithetic sampling requires an even n_samples, got "
+                f"{self.n_samples}"
+            )
+        if not hasattr(q, "location"):
+            raise ValueError(
+                "antithetic sampling requires a location-scale family "
+                f"(symmetric base); got {type(q).__name__}"
+            )
+        z = q.sample(key, self.n_samples // 2)
+        return jnp.concatenate([z, 2.0 * q.location - z], axis=0)
 
     def loss(self, q, prob, key: jax.Array) -> jax.Array:
         """Differentiable forward path: -ELBO estimate.
@@ -68,7 +90,7 @@ class RepGradELBO:
         used by the STL/proximal entropy strategies.
         """
         q_stop = tree_stop_gradient(q)
-        samples = q.sample(key, self.n_samples)
+        samples = self._draw(q, key)
         samples = _constrain_mc(samples, self.mc_axis)
         ent = estimate_entropy(self.entropy, samples, q, q_stop)
         log_density = prob.log_density
@@ -93,7 +115,10 @@ class RepGradELBO:
     ) -> jax.Array:
         """-ELBO point estimate (no gradient), reference: repgradelbo.jl:112-118."""
         n = self.n_samples if n_samples is None else n_samples
-        samples = q.sample(key, n)
+        if self.antithetic and n == self.n_samples:
+            samples = self._draw(q, key)
+        else:
+            samples = q.sample(key, n)
         q_stop = tree_stop_gradient(q)
         ent = estimate_entropy(self.entropy, samples, q, q_stop)
         energy = jnp.mean(jax.vmap(prob.log_density)(samples))
