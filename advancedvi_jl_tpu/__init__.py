@@ -51,7 +51,9 @@ from .families.location_scale import (
 )
 from .families.mixture import (
     MixtureELBO,
+    MixtureFullRank,
     MixtureMeanField,
+    mixture_fullrank,
     mixture_meanfield,
 )
 from .families.flows import (

@@ -110,6 +110,114 @@ class MixtureMeanField:
         )
 
 
+@pytree_dataclass
+class MixtureFullRank:
+    """K-component full-rank Gaussian mixture; per-component Cholesky scales.
+
+    Like ``FullRankLocationScale``, the strict upper triangle of each
+    component's scale is inert (tril-masked at use)."""
+
+    logits: jax.Array  # (K,)
+    locations: jax.Array  # (K, d)
+    scales: jax.Array  # (K, d, d), lower-triangular by contract
+
+    @property
+    def dim(self) -> int:
+        return self.locations.shape[-1]
+
+    @property
+    def n_components(self) -> int:
+        return self.locations.shape[0]
+
+    def weights(self) -> jax.Array:
+        return jax.nn.softmax(self.logits)
+
+    def _tril(self) -> jax.Array:
+        return jnp.tril(self.scales)
+
+    def sample_stratified(self, key: jax.Array, n_per_component: int):
+        K, d = self.locations.shape
+        u = jax.random.normal(
+            key, (K, n_per_component, d), self.locations.dtype
+        )
+        # z_k = u_k @ C_k^T + m_k, batched over components (MXU batch matmul)
+        return (
+            jnp.einsum("knd,ked->kne", u, self._tril())
+            + self.locations[:, None, :]
+        )
+
+    def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
+        kc, kz = jax.random.split(key)
+        comps = jax.random.categorical(kc, self.logits, shape=(n_samples,))
+        u = jax.random.normal(
+            kz, (n_samples, self.dim), self.locations.dtype
+        )
+        C = self._tril()[comps]  # (n, d, d)
+        return jnp.einsum("nd,ned->ne", u, C) + self.locations[comps]
+
+    def log_prob(self, z: jax.Array) -> jax.Array:
+        d = self.dim
+        C = self._tril()  # (K, d, d)
+        diff = z[..., None, :] - self.locations  # (..., K, d)
+        # Solve C_k v = diff_k per component (batched triangular solve).
+        flat = jnp.moveaxis(diff, -2, 0).reshape(
+            self.n_components, -1, d
+        )  # (K, N, d)
+        v = jax.vmap(
+            lambda Ck, Dk: jax.lax.linalg.triangular_solve(
+                Ck, Dk.T, left_side=True, lower=True
+            ).T
+        )(C, flat)  # (K, N, d)
+        quad = jnp.sum(jnp.square(v), axis=-1)  # (K, N)
+        logdet = jnp.sum(
+            jnp.log(jnp.abs(jnp.diagonal(C, axis1=-2, axis2=-1))), axis=-1
+        )  # (K,)
+        comp_lp = (
+            -0.5 * quad
+            - logdet[:, None]
+            - 0.5 * d * math.log(2.0 * math.pi)
+        )  # (K, N)
+        logw = jax.nn.log_softmax(self.logits)
+        out = jax.nn.logsumexp(comp_lp + logw[:, None], axis=0)  # (N,)
+        return out.reshape(diff.shape[:-2])
+
+    def mean(self) -> jax.Array:
+        return jnp.einsum("k,kd->d", self.weights(), self.locations)
+
+    def cov(self) -> jax.Array:
+        w = self.weights()
+        m = self.mean()
+        C = self._tril()
+        comp_cov = jnp.einsum("kde,kfe->kdf", C, C)  # (K, d, d)
+        second = jnp.einsum("k,kdf->df", w, comp_cov) + jnp.einsum(
+            "k,kd,ke->de", w, self.locations, self.locations
+        )
+        return second - jnp.outer(m, m)
+
+    def var(self) -> jax.Array:
+        return jnp.diagonal(self.cov())
+
+
+def mixture_fullrank(
+    key: jax.Array,
+    dim: int,
+    n_components: int,
+    init_scale: float = 1.0,
+    spread: float = 1.0,
+    dtype=jnp.float32,
+) -> MixtureFullRank:
+    """Fresh full-rank mixture: jittered locations, identity-scaled components."""
+    locs = spread * jax.random.normal(key, (n_components, dim), dtype)
+    eye = jnp.broadcast_to(
+        init_scale * jnp.eye(dim, dtype=dtype), (n_components, dim, dim)
+    )
+    return MixtureFullRank(
+        logits=jnp.zeros(n_components, dtype),
+        locations=locs,
+        scales=eye,
+    )
+
+
 def mixture_meanfield(
     key: jax.Array,
     dim: int,

@@ -18,7 +18,7 @@ from ..families.location_scale import (
     MeanFieldLocationScale,
 )
 from ..families.low_rank import LowRankLocationScale
-from ..families.mixture import MixtureMeanField
+from ..families.mixture import MixtureFullRank, MixtureMeanField
 from .rules import stepsize_from_opt_state
 
 
@@ -59,6 +59,11 @@ class ClipScale:
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
         if isinstance(q, MixtureMeanField):
             return q.replace(scale_diags=jnp.maximum(q.scale_diags, eps))
+        if isinstance(q, MixtureFullRank):
+            diag = jnp.diagonal(q.scales, axis1=-2, axis2=-1)  # (K, d)
+            delta = jnp.maximum(diag, eps) - diag
+            eye = jnp.eye(diag.shape[-1], dtype=q.scales.dtype)
+            return q.replace(scales=q.scales + delta[:, :, None] * eye)
         raise TypeError(
             f"ClipScale is not defined for family {type(q).__name__}"
         )
