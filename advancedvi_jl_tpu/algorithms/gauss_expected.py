@@ -32,6 +32,7 @@ from ..core.problem import (
     order_of,
 )
 from ..families.location_scale import FullRankLocationScale
+from ..parallel.mesh import shard_axis0
 
 
 def check_capability_at_least_grad(prob: Any, alg_name: str) -> None:
@@ -49,12 +50,17 @@ def gaussian_expected_grad_hess(
     q: FullRankLocationScale,
     n_samples: int,
     prob: Any,
+    mc_axis: str | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(E[log pi], E[grad log pi], E[hess log pi]) under q = N(m, C C^T).
 
     Chooses the Stein-identity path for gradient-only (order-1) targets and
     the exact batched-Hessian path otherwise, mirroring the reference's
     capability dispatch (gauss_expected_grad_hess.jl:32-78).
+
+    ``mc_axis``: optional mesh axis to shard the sample dimension over —
+    per-sample grad/Hessian evaluations run on the owning device and the
+    means (and the u^T @ grads moment matmul) reduce with psum over the mesh.
     """
     m = q.location
     C = q.tril_scale()
@@ -63,8 +69,10 @@ def gaussian_expected_grad_hess(
     if order_of(prob) == ORDER_GRAD:
         # Stein/Price identity:
         #   E[hess] = C'^-T E[u grad(C u + m)^T]
-        u = q.base.sample(key, (n_samples, d), m.dtype)
-        z = u @ C.T + m
+        u = shard_axis0(
+            q.base.sample(key, (n_samples, d), m.dtype), mc_axis
+        )
+        z = shard_axis0(u @ C.T + m, mc_axis)
         logpi, grads = jax.vmap(lambda zz: log_density_and_grad(prob, zz))(z)
         logpi_avg = jnp.mean(logpi)
         grad_avg = jnp.mean(grads, axis=0)
@@ -73,7 +81,7 @@ def gaussian_expected_grad_hess(
         return logpi_avg, grad_avg, hess_avg
 
     # Order-2 path: batched exact Hessians.
-    z = q.sample(key, n_samples)
+    z = shard_axis0(q.sample(key, n_samples), mc_axis)
     logpi, grads, hesses = jax.vmap(
         lambda zz: log_density_grad_and_hess(prob, zz)
     )(z)

@@ -66,15 +66,19 @@ def _check_q(q, alg_name: str) -> None:
 
 
 class MeasureSpaceAlgorithm:
-    """Shared init/step/output skeleton for the four algorithms above."""
+    """Shared init/step/output skeleton for the four algorithms above.
+
+    ``mc_axis``: optional mesh axis name; the per-step Monte-Carlo draws
+    (and their per-sample grad/Hessian evaluations) shard over it exactly
+    like RepGradELBO's sample axis (parallel/mesh.py).
+    """
 
     name = "MeasureSpaceAlgorithm"
 
-    def __init__(self, n_samples=1, subsampling=None, **kwargs):
+    def __init__(self, n_samples=1, subsampling=None, mc_axis=None):
         self.n_samples = n_samples
         self.subsampling = subsampling
-        for k, v in kwargs.items():
-            setattr(self, k, v)
+        self.mc_axis = mc_axis
 
     # per-algorithm hooks -------------------------------------------------
     def _init_aux(self, q: FullRankLocationScale):
@@ -120,7 +124,7 @@ class MeasureSpaceAlgorithm:
         info = dict(info)
 
         logpi_avg, grad, hess = gaussian_expected_grad_hess(
-            step_key, state.q, self.n_samples, prob_sub
+            step_key, state.q, self.n_samples, prob_sub, mc_axis=self.mc_axis
         )
         q_new, aux_new, extra_info = self._update(
             state.q, state.aux, grad, hess, it
@@ -146,12 +150,19 @@ class MeasureSpaceAlgorithm:
         return state.q
 
     def estimate_objective(
-        self, key: jax.Array, q, prob, n_samples: Optional[int] = None
+        self,
+        key: jax.Array,
+        q,
+        prob,
+        n_samples: Optional[int] = None,
+        entropy: str = MONTE_CARLO,
     ):
         """neg-ELBO via RepGrad + MC entropy; full-epoch sweep under
-        subsampling (reference: klminnaturalgraddescent.jl:172-191)."""
+        subsampling (reference: klminnaturalgraddescent.jl:172-191).
+        ``entropy`` overrides the evaluation entropy estimator, mirroring the
+        reference's kwarg (common.jl:29-38)."""
         n = n_samples if n_samples is not None else self.n_samples
-        obj = RepGradELBO(n_samples=n, entropy=MONTE_CARLO)
+        obj = RepGradELBO(n_samples=n, entropy=entropy, mc_axis=self.mc_axis)
         if self.subsampling is None:
             return obj.estimate_objective(key, q, prob)
         from ..objectives.subsampled import SubsampledObjective
@@ -177,8 +188,11 @@ class KLMinNaturalGradDescent(MeasureSpaceAlgorithm):
         n_samples: int = 1,
         ensure_posdef: bool = True,
         subsampling=None,
+        mc_axis=None,
     ):
-        super().__init__(n_samples=n_samples, subsampling=subsampling)
+        super().__init__(
+            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis
+        )
         self.stepsize = stepsize
         self.ensure_posdef = ensure_posdef
 
@@ -224,8 +238,16 @@ class KLMinSqrtNaturalGradDescent(MeasureSpaceAlgorithm):
 
     name = "KLMinSqrtNaturalGradDescent"
 
-    def __init__(self, stepsize: float, n_samples: int = 1, subsampling=None):
-        super().__init__(n_samples=n_samples, subsampling=subsampling)
+    def __init__(
+        self,
+        stepsize: float,
+        n_samples: int = 1,
+        subsampling=None,
+        mc_axis=None,
+    ):
+        super().__init__(
+            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis
+        )
         self.stepsize = stepsize
 
     def _update(self, q, aux, grad, hess, iteration):
@@ -264,14 +286,22 @@ class KLMinWassFwdBwd(MeasureSpaceAlgorithm):
         n_samples: int = 1,
         subsampling=None,
         sqrtm: str = "eigh",
+        sqrtm_iters: int = 20,
+        mc_axis=None,
     ):
-        super().__init__(n_samples=n_samples, subsampling=subsampling)
+        super().__init__(
+            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis
+        )
         self.stepsize = stepsize
         if sqrtm not in ("eigh", "newton_schulz"):
             raise ValueError(
                 f"sqrtm must be 'eigh' or 'newton_schulz', got {sqrtm!r}"
             )
         self.sqrtm = sqrtm
+        # Newton–Schulz iteration count: the default 20 is ample for
+        # well-conditioned sigma; raise it for spectra spanning >~1e4 (the
+        # near-zero eigenvalues converge linearly until the quadratic phase).
+        self.sqrtm_iters = sqrtm_iters
 
     def _init_aux(self, q):
         return q.cov()
@@ -286,7 +316,8 @@ class KLMinWassFwdBwd(MeasureSpaceAlgorithm):
             from ..ops.sqrtm import sqrtm_newton_schulz
 
             S = sqrtm_newton_schulz(
-                _symmetrize(sigma_half @ sigma_half + 4.0 * eta * sigma_half)
+                _symmetrize(sigma_half @ sigma_half + 4.0 * eta * sigma_half),
+                n_iter=self.sqrtm_iters,
             )
             sigma_new = _symmetrize(
                 (sigma_half + 2.0 * eta * jnp.eye(d, dtype=sigma.dtype) + S)
@@ -331,8 +362,16 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
 
     name = "FisherMinBatchMatch"
 
-    def __init__(self, n_samples: int = 32, subsampling=None):
-        super().__init__(n_samples=n_samples, subsampling=subsampling)
+    def __init__(self, n_samples: int = 32, subsampling=None, mc_axis=None):
+        if n_samples < 2:
+            raise ValueError(
+                "FisherMinBatchMatch needs n_samples >= 2: its update uses "
+                "CENTERED sample moments (the lam/(n-1) weighting divides by "
+                f"zero for n_samples={n_samples})."
+            )
+        super().__init__(
+            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis
+        )
 
     def step(self, state: MeasureSpaceState):
         # BaM draws its own (u, z) pairs and needs per-sample gradients, so it
@@ -347,10 +386,12 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
         prob_sub, sub_state, info = self._advance_subsampling(state)
         info = dict(info)
 
+        from ..parallel.mesh import shard_axis0
+
         mu = q.location
         C = q.tril_scale()  # cholesky factor of the current sigma
-        u = q.base.sample(step_key, (n, d), mu.dtype)
-        z = u @ C.T + mu
+        u = shard_axis0(q.base.sample(step_key, (n, d), mu.dtype), self.mc_axis)
+        z = shard_axis0(u @ C.T + mu, self.mc_axis)
 
         from ..core.problem import log_density_and_grad
 
@@ -423,11 +464,13 @@ class FisherMinBatchMatch(MeasureSpaceAlgorithm):
     ):
         """Covariance-weighted Fisher divergence estimate
         (reference: fisherminbatchmatch.jl:186-195)."""
+        from ..parallel.mesh import shard_axis0
+
         n = n_samples if n_samples is not None else self.n_samples
         mu = q.location
         C = q.tril_scale()
-        u = q.base.sample(key, (n, q.dim), mu.dtype)
-        z = u @ C.T + mu
+        u = shard_axis0(q.base.sample(key, (n, q.dim), mu.dtype), self.mc_axis)
+        z = shard_axis0(u @ C.T + mu, self.mc_axis)
         from ..core.problem import log_density_and_grad
 
         _, grads = jax.vmap(lambda zz: log_density_and_grad(prob, zz))(z)

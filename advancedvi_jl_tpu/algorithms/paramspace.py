@@ -146,16 +146,22 @@ class ParamSpaceSGD:
         return self.averager.value(state.avg_state)
 
     def estimate_objective(
-        self, key: jax.Array, q, prob, n_samples: Optional[int] = None
+        self,
+        key: jax.Array,
+        q,
+        prob,
+        n_samples: Optional[int] = None,
+        entropy: str = MONTE_CARLO,
     ):
         """-ELBO via RepGrad + Monte-Carlo entropy, regardless of the training
-        objective (reference: common.jl:29-38).  Families without a
+        objective (reference: common.jl:29-38; ``entropy`` overrides the
+        evaluation estimator like the reference kwarg).  Families without a
         ``log_prob`` (e.g. flows, which track density only along the sampling
         path) fall back to the training objective's own estimator."""
         n = n_samples if n_samples is not None else self.objective.n_samples
         if not hasattr(q, "log_prob"):
             return self.objective.estimate_objective(key, q, prob, n)
-        obj = RepGradELBO(n_samples=n, entropy=MONTE_CARLO)
+        obj = RepGradELBO(n_samples=n, entropy=entropy)
         return obj.estimate_objective(key, q, prob)
 
 

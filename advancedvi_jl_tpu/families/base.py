@@ -42,6 +42,10 @@ class Normal:
     def var(self):
         return 1.0
 
+    def symmetric(self):
+        """True iff -u has the same law as u (antithetic-sampling validity)."""
+        return True
+
 
 @pytree_dataclass
 class StudentT:
@@ -71,6 +75,9 @@ class StudentT:
     def var(self):
         return self.df / (self.df - 2.0) if self.df > 2.0 else float("inf")
 
+    def symmetric(self):
+        return True
+
 
 @pytree_dataclass
 class Laplace:
@@ -90,3 +97,6 @@ class Laplace:
 
     def var(self):
         return 2.0
+
+    def symmetric(self):
+        return True

@@ -30,13 +30,9 @@ from .entropy import CLOSED_FORM, estimate_entropy
 
 def _constrain_mc(samples: jax.Array, mc_axis: Optional[str]) -> jax.Array:
     """Annotate the sample axis for mesh sharding (no-op outside a mesh)."""
-    if mc_axis is None:
-        return samples
-    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import shard_axis0
 
-    return jax.lax.with_sharding_constraint(
-        samples, P(mc_axis, None)
-    )
+    return shard_axis0(samples, mc_axis)
 
 
 @pytree_dataclass
@@ -66,20 +62,31 @@ class RepGradELBO:
     def init(self, key, q, prob):
         return ()  # stateless: jit caching replaces AD preparation
 
-    def _draw(self, q, key: jax.Array) -> jax.Array:
+    def _draw(self, q, key: jax.Array, n: Optional[int] = None) -> jax.Array:
+        n = self.n_samples if n is None else n
         if not self.antithetic:
-            return q.sample(key, self.n_samples)
-        if self.n_samples % 2 != 0:
+            return q.sample(key, n)
+        if n % 2 != 0:
             raise ValueError(
-                "antithetic sampling requires an even n_samples, got "
-                f"{self.n_samples}"
+                f"antithetic sampling requires an even n_samples, got {n}"
             )
         if not hasattr(q, "location"):
             raise ValueError(
                 "antithetic sampling requires a location-scale family "
                 f"(symmetric base); got {type(q).__name__}"
             )
-        z = q.sample(key, self.n_samples // 2)
+        base = getattr(q, "base", None)
+        if base is not None and not (
+            hasattr(base, "symmetric") and base.symmetric()
+        ):
+            # z' = 2m - z has the law of q only when -u ~ u for the base;
+            # an asymmetric base would silently bias the estimator.
+            raise ValueError(
+                "antithetic sampling requires a symmetric base distribution "
+                f"(-u ~ u); {type(base).__name__} does not declare "
+                "symmetric() = True."
+            )
+        z = q.sample(key, n // 2)
         return jnp.concatenate([z, 2.0 * q.location - z], axis=0)
 
     def loss(self, q, prob, key: jax.Array) -> jax.Array:
@@ -115,8 +122,11 @@ class RepGradELBO:
     ) -> jax.Array:
         """-ELBO point estimate (no gradient), reference: repgradelbo.jl:112-118."""
         n = self.n_samples if n_samples is None else n_samples
-        if self.antithetic and n == self.n_samples:
-            samples = self._draw(q, key)
+        if self.antithetic and n % 2 == 0:
+            # Antithetic pairing applies for any even n (plain sampling only
+            # for odd n) so the estimator does not silently switch when the
+            # caller's n happens to differ from the training n_samples.
+            samples = self._draw(q, key, n)
         else:
             samples = q.sample(key, n)
         q_stop = tree_stop_gradient(q)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.pytree import pytree_dataclass, static_field, tree_stop_gradient
+from ..parallel.mesh import shard_axis0
 
 
 @pytree_dataclass
@@ -56,6 +57,9 @@ class ScoreGradELBO:
         """
         q_stop = tree_stop_gradient(q)
         samples = jax.lax.stop_gradient(q_stop.sample(key, self.n_samples))
+        # Shard the sample axis over the mesh: per-sample log pi / log q
+        # evaluate on the owning device; the VarGrad moments psum-reduce.
+        samples = shard_axis0(samples, self.mc_axis)
         log_pi = jax.lax.stop_gradient(
             jax.vmap(prob.log_density)(samples)
         )
@@ -80,7 +84,7 @@ class ScoreGradELBO:
     ) -> jax.Array:
         """-ELBO estimate (reference: scoregradelbo.jl:64-75)."""
         n = self.n_samples if n_samples is None else n_samples
-        samples = q.sample(key, n)
+        samples = shard_axis0(q.sample(key, n), self.mc_axis)
         log_pi = jax.vmap(prob.log_density)(samples)
         log_q = q.log_prob(samples)
         return -jnp.mean(log_pi - log_q)

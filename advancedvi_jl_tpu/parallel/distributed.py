@@ -36,6 +36,12 @@ def initialize(
     coordinator_address="host:port", num_processes, process_id.
     No-op when already initialized or single-process.
     """
+    # Idempotence via the official query (jax >= 0.4.34) rather than string-
+    # matching an error message; fall back to the message match only on jax
+    # versions without is_initialized.
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -43,7 +49,7 @@ def initialize(
             process_id=process_id,
         )
     except RuntimeError as e:
-        if "already" in str(e).lower():
+        if is_init is None and "already" in str(e).lower():
             return
         raise
 

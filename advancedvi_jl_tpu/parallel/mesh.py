@@ -66,6 +66,20 @@ def make_vi_mesh(
     )
 
 
+def shard_axis0(x: jax.Array, axis: Optional[str]) -> jax.Array:
+    """Constrain axis 0 of ``x`` to shard over mesh axis ``axis``.
+
+    The single annotation point for the MC/data axes: the (n, ...) batch of
+    draws or minibatch rows is marked sharded, and GSPMD propagates the
+    layout through the per-sample computation and inserts the psum on the
+    mean-reductions.  No-op when ``axis`` is None (single-device runs).
+    """
+    if axis is None:
+        return x
+    spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 

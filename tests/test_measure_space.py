@@ -309,3 +309,46 @@ def test_wassfwdbwd_newton_schulz_matches_eigh(key):
     )
     with pytest.raises(ValueError, match="newton_schulz"):
         KLMinWassFwdBwd(stepsize=0.05, sqrtm="pade")
+
+
+def test_newton_schulz_ill_conditioned_spectrum():
+    """Regression (ADVICE r1): Newton-Schulz on a spectrum spanning ~1e6 must
+    match the eigh square root once n_iter is raised; the default 20 is
+    documented as adequate only up to ~1e4 condition numbers."""
+    d = 16
+    rng = np.random.default_rng(0)
+    Q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    lam = np.logspace(-3, 3, d)  # condition number 1e6
+    A = jnp.asarray((Q * lam) @ Q.T, jnp.float32)
+    A = (A + A.T) / 2.0
+
+    from advancedvi_jl_tpu.ops.sqrtm import sqrtm_newton_schulz, sqrtm_psd
+
+    ref = np.asarray(sqrtm_psd(A))
+    got = np.asarray(sqrtm_newton_schulz(A, n_iter=100))
+    # float32, kappa=1e6: the small-eigenvalue subspace is accurate to
+    # ~sqrt(eps)*||A||^0.5 absolute; the dominant subspace to ~1e-3 relative.
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=5e-3)
+
+    # In float64 (where the noise floor doesn't mask it) the default 20
+    # iterations leave ~1e-6 error at this conditioning while 50 reach
+    # ~1e-13 — documents why sqrtm_iters is exposed on KLMinWassFwdBwd.
+    with jax.enable_x64():
+        A64 = jnp.asarray(np.asarray(A), jnp.float64)
+        ref64 = np.asarray(sqrtm_psd(A64))
+        err20 = np.abs(np.asarray(sqrtm_newton_schulz(A64, n_iter=20)) - ref64).max()
+        err50 = np.abs(np.asarray(sqrtm_newton_schulz(A64, n_iter=50)) - ref64).max()
+    assert err20 > 1e-7
+    assert err50 < 1e-10
+
+    alg = KLMinWassFwdBwd(
+        stepsize=0.05, sqrtm="newton_schulz", sqrtm_iters=40
+    )
+    assert alg.sqrtm_iters == 40
+
+
+def test_bam_rejects_single_sample():
+    """ADVICE r1: BaM with n_samples=1 divides by zero in the centered-moment
+    weights; fail fast instead of propagating NaN."""
+    with pytest.raises(ValueError, match="n_samples >= 2"):
+        FisherMinBatchMatch(n_samples=1)
