@@ -55,6 +55,55 @@ def _steps_scanned(alg, state, n_steps: int, unroll: int = 1):
     return jax.lax.scan(body, state, None, length=n_steps, unroll=unroll)
 
 
+def _steps_grouped(alg, state, n_groups: int, group: int, start_it):
+    """Nested scan recording one info row per ``group`` steps.
+
+    Host memory stays O(n_groups) instead of O(n_groups * group) — the
+    scalable path for 10^6-iteration runs (the reference streams to a
+    progress meter instead of materializing, optimize.jl:64-78; here the
+    device loop keeps only each group's last info).
+
+    Early-exit divergence: once a step reports ``diverged``, every later
+    step is skipped via ``lax.cond`` (the skip branch just forwards the
+    carry, so the rest of the scan is ~free) and the exact first bad
+    iteration is carried out for the host-side raise.
+    """
+    import jax.numpy as jnp
+
+    _, info_shape = jax.eval_shape(alg.step, state)
+    info0 = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), info_shape
+    )
+    t0 = jnp.asarray(start_it, jnp.int64 if jax.config.jax_enable_x64
+                     else jnp.int32)
+
+    def body(carry, _):
+        st, info_prev, div, first_bad, t = carry
+
+        def do(args):
+            st, _ = args
+            return alg.step(st)
+
+        def skip(args):
+            return args
+
+        st_new, info = jax.lax.cond(div, skip, do, (st, info_prev))
+        d_step = info.get("diverged", jnp.asarray(False))
+        div_new = div | d_step
+        first_bad = jnp.where(div_new & ~div, t + 1, first_bad)
+        return (st_new, info, div_new, first_bad, t + 1), None
+
+    def outer(carry, _):
+        carry, _ = jax.lax.scan(body, carry, None, length=group)
+        return carry, carry[1]  # last info of the group
+
+    init = (state, info0, jnp.asarray(False), jnp.zeros_like(t0), t0)
+    (state, _, div, first_bad, _), infos = jax.lax.scan(
+        outer, init, None, length=n_groups
+    )
+    return state, infos, div, first_bad
+
+
 def optimize(
     key: jax.Array,
     algorithm,
@@ -69,6 +118,7 @@ def optimize(
     check_divergence: bool = True,
     mesh: Optional[Any] = None,
     unroll: int = 1,
+    log_every: int = 1,
 ):
     """Run a variational inference algorithm.
 
@@ -79,7 +129,16 @@ def optimize(
     whole run executes under it with state replicated and the MC/data axes
     sharded per the objective's ``mc_axis`` / the target's ``data_axis``
     annotations.
+
+    ``log_every``: record one info row per ``log_every`` iterations (the last
+    of each group).  With the default 1 every iteration is recorded, like the
+    reference.  For long runs (10^5+ iterations) a larger value keeps host
+    memory flat — the thinning happens ON DEVICE (scan mode), divergence is
+    still detected at the exact offending step, and all later steps are
+    skipped at ~zero cost.
     """
+    if log_every < 1:
+        raise ValueError(f"log_every must be >= 1, got {log_every}")
     if mesh is not None:
         from .parallel.mesh import replicate_state
 
@@ -89,13 +148,13 @@ def optimize(
             state = replicate_state(state, mesh)
             return _optimize_loop(
                 algorithm, max_iter, state, callback, chunk_size,
-                show_progress, check_divergence, unroll,
+                show_progress, check_divergence, unroll, log_every,
             )
     if state is None:
         state = algorithm.init(key, q_init, prob)
     return _optimize_loop(
         algorithm, max_iter, state, callback, chunk_size,
-        show_progress, check_divergence, unroll,
+        show_progress, check_divergence, unroll, log_every,
     )
 
 
@@ -108,6 +167,7 @@ def _optimize_loop(
     show_progress: bool,
     check_divergence: bool,
     unroll: int = 1,
+    log_every: int = 1,
 ):
 
     infos: list = []
@@ -133,10 +193,49 @@ def _optimize_loop(
             if extra:
                 info.update(extra)
             info["iteration"] = t + 1
-            infos.append(info)
+            if (t + 1) % log_every == 0 or t + 1 == max_iter:
+                infos.append(info)
             if show_progress and (t + 1) % max(1, max_iter // 20) == 0:
                 elbo = info.get("elbo")
                 print(f"  iter {t + 1}/{max_iter}  elbo={elbo}")
+    elif log_every > 1:
+        # Thinned scan mode: on-device nested scan, one info row per
+        # log_every steps, early-exit after divergence, exact bad iteration.
+        chunk = chunk_size or max_iter
+        done = 0
+        while done < max_iter:
+            n = min(chunk, max_iter - done)
+            groups = [(n // log_every, log_every)]
+            if n % log_every:
+                groups.append((1, n % log_every))
+            for n_groups, group in groups:
+                if n_groups == 0:
+                    continue
+                fn = _cached_jit(
+                    algorithm,
+                    f"grouped_{n_groups}_{group}",
+                    lambda: jax.jit(
+                        lambda s, t0: _steps_grouped(
+                            algorithm, s, n_groups, group, t0
+                        )
+                    ),
+                )
+                state, stacked, div, first_bad = fn(state, done)
+                stacked = jax.device_get(stacked)
+                if check_divergence and bool(jax.device_get(div)):
+                    raise DivergenceError(
+                        "The objective became non-finite at iteration "
+                        f"{int(jax.device_get(first_bad))}. This indicates "
+                        "that the optimization diverged."
+                    )
+                for g in range(n_groups):
+                    row = {k: v[g] for k, v in stacked.items()}
+                    row["iteration"] = done + (g + 1) * group
+                    infos.append(row)
+                done += n_groups * group
+            if show_progress:
+                elbo = infos[-1].get("elbo")
+                print(f"  iter {done}/{max_iter}  elbo={elbo}")
     else:
         # Scan mode: device-side loop, one host sync per chunk.
         chunk = chunk_size or max_iter
