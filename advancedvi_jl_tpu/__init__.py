@@ -57,9 +57,11 @@ from .families.mixture import (
     mixture_meanfield,
 )
 from .families.flows import (
+    CouplingFlowFamily,
     FlowELBO,
     PlanarFlowFamily,
     RadialFlowFamily,
+    coupling_flow,
     planar_flow,
     radial_flow,
 )

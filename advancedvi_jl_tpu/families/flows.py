@@ -178,26 +178,187 @@ def radial_flow(
 
 
 @pytree_dataclass
+class CouplingFlowFamily:
+    """RealNVP-style affine-coupling flow with an ANALYTIC inverse.
+
+    Each of the K layers transforms the complement of an alternating
+    checkerboard mask m_k (m_k[i] = (i + k) % 2):
+
+        y = m*z + (1-m) * (z * exp(s(m*z)) + t(m*z))
+
+    with (s, t) produced by a small per-layer MLP conditioner reading only
+    the masked coordinates; log|det J| = sum((1-m) * s).  The inverse is
+    closed form — ``z = m*y + (1-m) * (y - t(m*y)) * exp(-s(m*y))`` — so,
+    unlike planar/radial flows, the density is available at ARBITRARY
+    points: ``log_prob`` exists and the sticking-the-landing entropy
+    estimator applies (``FlowELBO(entropy="stl")``), exceeding the
+    reference's flow-tutorial surface (reference README.md:91-120 pattern,
+    which only needs rand + logpdf along the sampling path).
+
+    s is tanh-bounded (|s| <= s_cap) so both directions stay float32-stable;
+    conditioner output weights init to zero -> the flow starts at identity.
+    Every layer is one (n, d) x (d, h) + (n, h) x (h, 2d) matmul pair —
+    MXU work batched over samples, scanned over layers on-device.
+    """
+
+    base_location: jax.Array  # (d,)
+    base_scale_diag: jax.Array  # (d,)
+    W1: jax.Array  # (K, d, h)
+    b1: jax.Array  # (K, h)
+    W2: jax.Array  # (K, h, 2d)
+    b2: jax.Array  # (K, 2d)
+    s_cap: float = static_field(default=2.0)
+
+    @property
+    def dim(self) -> int:
+        return self.base_location.shape[-1]
+
+    @property
+    def n_layers(self) -> int:
+        return self.W1.shape[0]
+
+    def _mask(self, k) -> jax.Array:
+        d = self.dim
+        return ((jnp.arange(d) + k) % 2).astype(self.base_location.dtype)
+
+    def _st(self, z_masked, params):
+        W1, b1, W2, b2 = params
+        h = jnp.tanh(z_masked @ W1 + b1)
+        st = h @ W2 + b2
+        s_raw, t = st[..., : self.dim], st[..., self.dim :]
+        return self.s_cap * jnp.tanh(s_raw / self.s_cap), t
+
+    def _layer_params(self):
+        return (
+            jnp.arange(self.n_layers),
+            (self.W1, self.b1, self.W2, self.b2),
+        )
+
+    def _base_log_prob(self, u: jax.Array) -> jax.Array:
+        d = self.dim
+        return (
+            jnp.sum(-0.5 * jnp.square(u), axis=-1)
+            - 0.5 * d * math.log(2.0 * math.pi)
+            - jnp.sum(jnp.log(jnp.abs(self.base_scale_diag)))
+        )
+
+    def sample_and_log_prob(self, key: jax.Array, n_samples: int):
+        """Reparameterized samples with the density along the sampling path."""
+        u = jax.random.normal(
+            key, (n_samples, self.dim), self.base_location.dtype
+        )
+        z = u * self.base_scale_diag + self.base_location
+        logq = self._base_log_prob(u)
+
+        ks, params = self._layer_params()
+
+        def layer(carry, inp):
+            z, logq = carry
+            k, p = inp
+            m = self._mask(k)
+            s, t = self._st(m * z, p)
+            z_new = m * z + (1.0 - m) * (z * jnp.exp(s) + t)
+            logq = logq - jnp.sum((1.0 - m) * s, axis=-1)
+            return (z_new, logq), None
+
+        (z, logq), _ = jax.lax.scan(layer, (z, logq), (ks, params))
+        return z, logq
+
+    def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
+        return self.sample_and_log_prob(key, n_samples)[0]
+
+    def log_prob(self, z: jax.Array) -> jax.Array:
+        """Density at arbitrary points via the analytic inverse (STL path)."""
+        squeeze = z.ndim == 1
+        if squeeze:
+            z = z[None, :]
+        ks, params = self._layer_params()
+
+        def inv_layer(carry, inp):
+            y, acc = carry
+            k, p = inp
+            m = self._mask(k)
+            s, t = self._st(m * y, p)
+            z_prev = m * y + (1.0 - m) * (y - t) * jnp.exp(-s)
+            return (z_prev, acc + jnp.sum((1.0 - m) * s, axis=-1)), None
+
+        (z0, acc), _ = jax.lax.scan(
+            inv_layer, (z, jnp.zeros(z.shape[0], z.dtype)), (ks, params),
+            reverse=True,
+        )
+        u = (z0 - self.base_location) / self.base_scale_diag
+        logq = self._base_log_prob(u) - acc
+        return logq[0] if squeeze else logq
+
+
+def coupling_flow(
+    key: jax.Array,
+    dim: int,
+    n_layers: int = 8,
+    hidden: int = 32,
+    dtype=jnp.float32,
+) -> CouplingFlowFamily:
+    """Fresh identity-initialized affine-coupling flow (W2 = 0 => s = t = 0)."""
+    k1 = key
+    scale = 1.0 / math.sqrt(dim)
+    return CouplingFlowFamily(
+        base_location=jnp.zeros(dim, dtype),
+        base_scale_diag=jnp.ones(dim, dtype),
+        W1=scale * jax.random.normal(k1, (n_layers, dim, hidden), dtype),
+        b1=jnp.zeros((n_layers, hidden), dtype),
+        W2=jnp.zeros((n_layers, hidden, 2 * dim), dtype),
+        b2=jnp.zeros((n_layers, 2 * dim), dtype),
+    )
+
+
+@pytree_dataclass
 class FlowELBO:
-    """Monte-Carlo-entropy ELBO for families with ``sample_and_log_prob``.
+    """ELBO for families with ``sample_and_log_prob``.
 
     Drop-in objective for ParamSpaceSGD: grad of
     ``-(E[log pi(z)] - E[log q(z)])`` with reparameterized z.
+
+    ``entropy``: "monte_carlo" (default; density along the sampling path —
+    works for every flow) or "stl" (sticking-the-landing: the entropy term
+    is the frozen density evaluated at the live samples, leaving only the
+    path derivative — requires the family to implement ``log_prob``, i.e. an
+    analytic inverse such as CouplingFlowFamily's).
     """
 
     n_samples: int = static_field(default=1)
     mc_axis: Optional[str] = static_field(default=None)
+    entropy: str = static_field(default="monte_carlo")
+
+    def __post_init__(self):
+        if self.entropy not in ("monte_carlo", "stl"):
+            raise ValueError(
+                "FlowELBO entropy must be 'monte_carlo' or 'stl', got "
+                f"{self.entropy!r}"
+            )
 
     def init(self, key, q, prob):
+        if self.entropy == "stl" and not hasattr(q, "log_prob"):
+            raise ValueError(
+                "FlowELBO(entropy='stl') requires a family with log_prob "
+                "(an analytic flow inverse, e.g. CouplingFlowFamily); "
+                f"{type(q).__name__} tracks density only along the sampling "
+                "path."
+            )
         return ()
 
     def loss(self, q, prob, key: jax.Array) -> jax.Array:
+        from ..core.pytree import tree_stop_gradient
         from ..objectives.repgradelbo import _constrain_mc
 
         z, logq = q.sample_and_log_prob(key, self.n_samples)
         z = _constrain_mc(z, self.mc_axis)
+        if self.entropy == "stl":
+            q_stop = tree_stop_gradient(q)
+            ent = -jnp.mean(q_stop.log_prob(z))
+        else:
+            ent = -jnp.mean(logq)
         energy = jnp.mean(jax.vmap(prob.log_density)(z))
-        return -(energy - jnp.mean(logq))
+        return -(energy + ent)
 
     def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):
         nelbo, grad = jax.value_and_grad(self.loss)(q, prob, key)
