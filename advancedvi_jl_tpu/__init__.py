@@ -106,4 +106,6 @@ from .parallel.mesh import DATA_AXIS, MC_AXIS, make_vi_mesh
 from .subsampling import ReshufflingBatchSubsampling
 from .utils.checkpoint import restore_state, save_state
 
+from . import ppl  # model-ingestion DSL + numpyro bridge (L8)
+
 __version__ = "0.1.0"

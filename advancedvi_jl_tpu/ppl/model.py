@@ -1,0 +1,416 @@
+"""Model ingestion: a probabilistic-program function -> ready-to-fit target.
+
+TPU-native analogue of the reference's DynamicPPL extension
+(reference: ext/AdvancedVIDynamicPPLExt.jl:72-211), which turns a PPL model
+into (a) an unconstrained parameter vector, (b) a weighted log-joint
+``likeadj * loglike + logprior - logjac``, and (c) an in-place ``subsample``.
+Here the user writes a plain Python function using ``ppl.sample`` /
+``ppl.plate`` effect primitives:
+
+    import advancedvi_jl_tpu.ppl as ppl
+
+    def model(data):
+        sigma = ppl.sample("sigma", ppl.LogNormal(0.0, 3.0))
+        beta = ppl.sample("beta", ppl.Normal(jnp.zeros(d), sigma))
+        logits = data["X"] @ beta
+        with ppl.plate("obs", n_data):
+            ppl.sample("y", ppl.Bernoulli(logits=logits), obs=data["y"])
+
+    m = ppl.ingest(model, data=data)
+    q, infos, _ = avt.optimize(key, alg, n_iter, m.target, m.q_init())
+    posterior = m.sample_posterior(key2, q, 1000)   # dict of site draws
+
+Ingestion runs ONE trace pass (prior draws, host-side) to discover latent
+sites — names, shapes, supports — then assembles:
+
+- the constrained -> unconstrained ``Stacked`` bijection from the declared
+  supports (core/transforms.py), with the log-det-Jacobian fused into the
+  jitted ELBO path (the reference's varinfo "linking"),
+- ``logprior_fn`` / ``loglike_fn`` closures that REPLAY the model function
+  with latent values substituted from the flat vector (pure, jit-traceable),
+- a ``FactorizedTarget`` when ``data`` is given, so plate-observed sites get
+  static-shape minibatch subsampling with automatic n/batch likelihood
+  rescaling (the ``likeadj`` Ref dance of the reference, :188-209).
+
+Plate semantics: observed sites INSIDE a ``plate`` form the subsampled
+likelihood; observed sites OUTSIDE any plate are global evidence terms and
+are never rescaled (they join the prior accumulator).  Latent sites inside a
+plate (per-datapoint local latents) are supported full-batch; with
+``data=``-subsampling they are rejected at ingest time — use the amortized
+family path (families/local.py) for doubly-stochastic local-latent VI.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import ORDER_JAX, fn_target
+from ..core.pytree import pytree_dataclass, static_field
+from ..core.transforms import (
+    Identity,
+    Sigmoid,
+    Softplus,
+    StickBreakingSimplex,
+    TransformedDistribution,
+    TransformedTarget,
+    stacked,
+)
+
+# ---------------------------------------------------------------------------
+# Effect-handler machinery
+# ---------------------------------------------------------------------------
+
+_HANDLER_STACK: List[Any] = []
+_PLATE_STACK: List["plate"] = []
+
+
+def sample(name: str, dist: Any, obs: Optional[jax.Array] = None):
+    """Declare a random site.  Latent when ``obs`` is None, observed otherwise."""
+    if not _HANDLER_STACK:
+        raise RuntimeError(
+            "ppl.sample() used outside a model execution context; call the "
+            "model through ppl.ingest(...) (or ppl.prior_predictive)."
+        )
+    return _HANDLER_STACK[-1].process(
+        name, dist, obs, in_plate=len(_PLATE_STACK) > 0
+    )
+
+
+class plate:
+    """Marks the subsampled-data axis.  Observed sites inside the plate form
+    the per-datapoint likelihood (rescaled under minibatching); everything
+    outside is global."""
+
+    def __init__(self, name: str, size: int):
+        self.name = name
+        self.size = size
+
+    def __enter__(self):
+        _PLATE_STACK.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        _PLATE_STACK.pop()
+        return False
+
+
+class _HandlerCtx:
+    def __init__(self, handler):
+        self.handler = handler
+
+    def __enter__(self):
+        _HANDLER_STACK.append(self.handler)
+        return self.handler
+
+    def __exit__(self, *exc):
+        _HANDLER_STACK.pop()
+        return False
+
+
+class _Tracer:
+    """Discovery pass: draws latent sites from their priors, records metadata."""
+
+    def __init__(self, key: jax.Array):
+        self.key = key
+        self.counter = 0
+        self.sites: Dict[str, dict] = {}
+
+    def process(self, name, dist, obs, in_plate):
+        if name in self.sites:
+            raise ValueError(f"duplicate site name {name!r}")
+        if obs is not None:
+            self.sites[name] = {"observed": True, "in_plate": in_plate}
+            return obs
+        support = dist.support
+        if support == "discrete":
+            raise ValueError(
+                f"latent site {name!r} has a discrete distribution "
+                f"({type(dist).__name__}); discrete latents are not "
+                "supported by VI — marginalize them or observe the site."
+            )
+        val = dist.sample(jax.random.fold_in(self.key, self.counter))
+        self.counter += 1
+        self.sites[name] = {
+            "observed": False,
+            "in_plate": in_plate,
+            "shape": jnp.shape(val),
+            "support": support,
+            "dist_type": type(dist).__name__,
+            "interval": (
+                (dist.lo, dist.hi) if support == "interval" else None
+            ),
+            "init": val,
+        }
+        return val
+
+
+class _Replayer:
+    """Scoring pass: substitutes latent values, accumulates log densities."""
+
+    def __init__(self, values: Dict[str, jax.Array]):
+        self.values = values
+        self.logprior = 0.0  # priors + global (non-plate) evidence
+        self.loglike = 0.0  # plate-observed likelihood (rescalable)
+
+    def process(self, name, dist, obs, in_plate):
+        if obs is not None:
+            term = jnp.sum(dist.log_prob(obs))
+            if in_plate:
+                self.loglike = self.loglike + term
+            else:
+                self.logprior = self.logprior + term
+            return obs
+        val = self.values[name]
+        self.logprior = self.logprior + jnp.sum(dist.log_prob(val))
+        return val
+
+
+# ---------------------------------------------------------------------------
+# Support -> Transform assembly
+# ---------------------------------------------------------------------------
+
+
+def _site_transform(meta):
+    s = meta["support"]
+    if s == "real":
+        return Identity()
+    if s == "positive":
+        return Softplus()
+    if s == "unit_interval":
+        return Sigmoid(lo=0.0, hi=1.0)
+    if s == "interval":
+        lo, hi = meta["interval"]
+        return Sigmoid(lo=lo, hi=hi)
+    if s == "simplex":
+        return StickBreakingSimplex()
+    raise ValueError(f"unknown support {s!r}")
+
+
+def _constrained_size(meta) -> int:
+    return int(math.prod(meta["shape"])) if meta["shape"] else 1
+
+
+def _unconstrained_size(meta) -> int:
+    n = _constrained_size(meta)
+    if meta["support"] == "simplex":
+        return n - 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# The ingested model
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class PPLTarget:
+    """logprior(theta) + likeadj * loglike(theta, data) with ONE model replay.
+
+    Same contract as core.factorized.FactorizedTarget (the DynamicPPL-bridge
+    analogue: weighted log-joint + static-shape minibatch subsample,
+    reference: ext/AdvancedVIDynamicPPLExt.jl:188-209), but prior and
+    likelihood come from a single replay of the model function — the replay
+    returns both accumulators, so subsampled steps never touch full data.
+    """
+
+    data: Any
+    likeadj: jax.Array
+    replay_fn: Callable = static_field()  # (theta, data) -> (logprior, loglike)
+    dim: int = static_field()
+    n_data: int = static_field()
+    data_axis: Optional[str] = static_field(default=None)
+
+    def order(self) -> int:
+        return ORDER_JAX
+
+    def log_density(self, theta: jax.Array) -> jax.Array:
+        data = self.data
+        if self.data_axis is not None:
+            from ..parallel.mesh import shard_axis0
+
+            data = jax.tree.map(
+                lambda x: shard_axis0(x, self.data_axis), data
+            )
+        logprior, loglike = self.replay_fn(theta, data)
+        return logprior + self.likeadj * loglike
+
+    def subsample(self, indices: jax.Array) -> "PPLTarget":
+        batch = indices.shape[0]
+        return PPLTarget(
+            data=jax.tree.map(
+                lambda x: jnp.take(x, indices, axis=0), self.data
+            ),
+            likeadj=self.likeadj * (self.n_data / batch),
+            replay_fn=self.replay_fn,
+            dim=self.dim,
+            n_data=self.n_data,
+            data_axis=self.data_axis,
+        )
+
+
+class Model:
+    """Bundle of target + parameter-space bookkeeping for one model function."""
+
+    def __init__(
+        self, model_fn, data, latents, model_args, model_kwargs,
+        data_axis=None,
+    ):
+        self._fn = model_fn
+        self._data = data
+        self.latents = latents  # ordered {name: meta}
+        self._args = model_args
+        self._kwargs = model_kwargs
+        self._data_axis = data_axis
+
+        names = list(latents)
+        self._slices = {}
+        off = 0
+        for n in names:
+            sz = _constrained_size(latents[n])
+            self._slices[n] = (off, sz, latents[n]["shape"])
+            off += sz
+        self.dim_constrained = off
+        self.transform = stacked(
+            *[
+                (_site_transform(latents[n]), _unconstrained_size(latents[n]))
+                for n in names
+            ]
+        )
+        self.dim = sum(_unconstrained_size(latents[n]) for n in names)
+        self.target = self._build_target()
+
+    # -- target assembly ---------------------------------------------------
+    def _replay(self, theta_constrained, data):
+        values = self.unpack(theta_constrained)
+        rep = _Replayer(values)
+        with _HandlerCtx(rep):
+            if data is _NO_DATA:
+                self._fn(*self._args, **self._kwargs)
+            else:
+                self._fn(data, *self._args, **self._kwargs)
+        return rep
+
+    def _build_target(self):
+        if self._data is _NO_DATA:
+
+            def logjoint(theta, _):
+                rep = self._replay(theta, _NO_DATA)
+                return rep.logprior + rep.loglike
+
+            base = fn_target(logjoint, dim=self.dim_constrained)
+        else:
+            local = [
+                n for n, m in self.latents.items() if m["in_plate"]
+            ]
+            if local:
+                raise ValueError(
+                    f"latent sites inside a plate ({local}) cannot be "
+                    "combined with data= subsampling through ingest(); fit "
+                    "full-batch (data=None, close over the data) or use the "
+                    "amortized local-latent family "
+                    "(advancedvi_jl_tpu.families.local)."
+                )
+            n_data = jax.tree.leaves(self._data)[0].shape[0]
+
+            def replay_fn(theta, batch):
+                rep = self._replay(theta, batch)
+                return rep.logprior, rep.loglike
+
+            base = PPLTarget(
+                data=self._data,
+                likeadj=jnp.ones(()),
+                replay_fn=replay_fn,
+                dim=self.dim_constrained,
+                n_data=n_data,
+                data_axis=self._data_axis,
+            )
+        return TransformedTarget(prob=base, transform=self.transform)
+
+    # -- parameter-space helpers --------------------------------------------
+    def unpack(self, theta_constrained: jax.Array) -> Dict[str, jax.Array]:
+        """Flat constrained vector -> {site: value} with original shapes."""
+        out = {}
+        for n, (off, sz, shape) in self._slices.items():
+            v = jax.lax.dynamic_slice_in_dim(theta_constrained, off, sz)
+            out[n] = v.reshape(shape) if shape else v[0]
+        return out
+
+    def constrain(self, x_unconstrained: jax.Array) -> Dict[str, jax.Array]:
+        """Unconstrained vector (the VI space) -> {site: constrained value}."""
+        return self.unpack(self.transform.forward(x_unconstrained))
+
+    def q_init(self, scale: float = 0.1):
+        """Mean-field Gaussian in the unconstrained space (the standard
+        ADVI initialization)."""
+        from ..families.location_scale import MeanFieldGaussian
+
+        return MeanFieldGaussian(
+            jnp.zeros(self.dim), scale * jnp.ones(self.dim)
+        )
+
+    def posterior(self, q) -> TransformedDistribution:
+        """Push the fitted unconstrained family to the constrained space."""
+        return TransformedDistribution(base=q, transform=self.transform)
+
+    def sample_posterior(
+        self, key: jax.Array, q, n_samples: int
+    ) -> Dict[str, jax.Array]:
+        """Constrained posterior draws per site, stacked on axis 0."""
+        z = self.posterior(q).sample(key, n_samples)
+        return jax.vmap(self.unpack)(z)
+
+
+_NO_DATA = object()
+
+
+def ingest(
+    model_fn: Callable,
+    data: Any = _NO_DATA,
+    *model_args,
+    seed: int = 0,
+    data_axis: Optional[str] = None,
+    **model_kwargs,
+) -> Model:
+    """Trace ``model_fn`` once and build the fit-ready target.
+
+    ``data``: optional pytree of arrays (leading dim = plate size) passed as
+    the model's first argument; enables static-shape minibatch subsampling of
+    plate-observed sites with automatic likelihood rescaling.  Without it the
+    model function takes only ``model_args``/``model_kwargs`` (close over
+    constants) and the target is full-batch.
+    """
+    tracer = _Tracer(jax.random.key(seed))
+    with _HandlerCtx(tracer):
+        if data is _NO_DATA:
+            model_fn(*model_args, **model_kwargs)
+        else:
+            model_fn(data, *model_args, **model_kwargs)
+    latents = {
+        n: m for n, m in tracer.sites.items() if not m["observed"]
+    }
+    if not latents:
+        raise ValueError("model declares no latent sites; nothing to infer")
+    return Model(
+        model_fn, data, latents, model_args, model_kwargs,
+        data_axis=data_axis,
+    )
+
+
+def prior_predictive(
+    model_fn: Callable, key: jax.Array, data: Any = _NO_DATA,
+    *model_args, **model_kwargs,
+) -> Dict[str, jax.Array]:
+    """One joint draw of all latent sites from the prior."""
+    tracer = _Tracer(key)
+    with _HandlerCtx(tracer):
+        if data is _NO_DATA:
+            model_fn(*model_args, **model_kwargs)
+        else:
+            model_fn(data, *model_args, **model_kwargs)
+    return {
+        n: m["init"] for n, m in tracer.sites.items() if not m["observed"]
+    }
