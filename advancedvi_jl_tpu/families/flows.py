@@ -360,9 +360,15 @@ class FlowELBO:
         energy = jnp.mean(jax.vmap(prob.log_density)(z))
         return -(energy + ent)
 
+    def _loss_and_aux(self, q, prob, key: jax.Array):
+        nelbo = self.loss(q, prob, key)
+        return nelbo, {"elbo": -nelbo}
+
     def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):
-        nelbo, grad = jax.value_and_grad(self.loss)(q, prob, key)
-        return grad, obj_state, {"elbo": -nelbo}
+        (_, info), grad = jax.value_and_grad(
+            self._loss_and_aux, has_aux=True
+        )(q, prob, key)
+        return grad, obj_state, info
 
     def estimate_objective(self, key, q, prob, n_samples=None):
         n = n_samples if n_samples is not None else self.n_samples

@@ -274,12 +274,17 @@ class MixtureELBO:
         per_comp = jnp.mean(energy - logq, axis=1)  # (K,)
         return -jnp.sum(q.weights() * per_comp)
 
-    def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):
+    def _loss_and_aux(self, q, prob, key: jax.Array):
         from ..core.problem import maybe_wrap_custom_grad
 
-        prob = maybe_wrap_custom_grad(prob)
-        nelbo, grad = jax.value_and_grad(self.loss)(q, prob, key)
-        return grad, obj_state, {"elbo": -nelbo}
+        nelbo = self.loss(q, maybe_wrap_custom_grad(prob), key)
+        return nelbo, {"elbo": -nelbo}
+
+    def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):
+        (_, info), grad = jax.value_and_grad(
+            self._loss_and_aux, has_aux=True
+        )(q, prob, key)
+        return grad, obj_state, info
 
     def estimate_objective(
         self, key: jax.Array, q, prob, n_samples: Optional[int] = None

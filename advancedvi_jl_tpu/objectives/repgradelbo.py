@@ -106,15 +106,22 @@ class RepGradELBO:
         energy = jnp.mean(jax.vmap(log_density)(samples))
         return -(energy + ent)
 
+    def _loss_and_aux(self, q, prob, key: jax.Array):
+        """(loss, info) — the uniform differentiable contract every objective
+        exposes so decorators (SubsampledObjective) can compose gradients
+        through family transformations (e.g. amortized-q subsampling)."""
+        nelbo = self.loss(q, maybe_wrap_custom_grad(prob), key)
+        return nelbo, {"elbo": -nelbo}
+
     def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):
         """One gradient estimate; returns (grad_pytree, obj_state, info).
 
         Analogue of ``estimate_gradient!`` (reference: repgradelbo.jl:151-177)
         with the DiffResults buffer replaced by a returned pytree.
         """
-        prob = maybe_wrap_custom_grad(prob)
-        nelbo, grad = jax.value_and_grad(self.loss)(q, prob, key)
-        info = {"elbo": -nelbo}
+        (_, info), grad = jax.value_and_grad(
+            self._loss_and_aux, has_aux=True
+        )(q, prob, key)
         return grad, obj_state, info
 
     def estimate_objective(

@@ -66,17 +66,19 @@ class ScoreGradELBO:
         log_q = q.log_prob(samples)
         f = log_q - log_pi
         vargrad = (jnp.mean(jnp.square(f)) - jnp.square(jnp.mean(f))) / 2.0
-        return vargrad, (log_pi, jax.lax.stop_gradient(log_q))
+        info = {
+            "elbo": jnp.mean(log_pi - jax.lax.stop_gradient(log_q))
+        }
+        return vargrad, info
 
     def loss(self, q, prob, key: jax.Array) -> jax.Array:
         return self._loss_and_aux(q, prob, key)[0]
 
     def value_and_grad(self, q, prob, key: jax.Array, obj_state=()):
         """(grad, obj_state, info) with info.elbo the plain ELBO estimate."""
-        (vargrad, (log_pi, log_q)), grad = jax.value_and_grad(
+        (_, info), grad = jax.value_and_grad(
             self._loss_and_aux, has_aux=True
         )(q, prob, key)
-        info = {"elbo": jnp.mean(log_pi - log_q)}
         return grad, obj_state, info
 
     def estimate_objective(

@@ -40,11 +40,23 @@ class SubsampledObjective:
         sub_key, _ = jax.random.split(key)
         return self.subsampling.init(sub_key)
 
+    def _loss_and_aux(self, q, prob_sub, batch, key):
+        # The family subsample happens INSIDE the differentiated function, so
+        # for amortized families (per-datapoint parameters, reference:
+        # subsampledobjective.jl:81) the gradient of the row gather is a
+        # scatter-add back into the FULL parameter arrays — rows outside the
+        # minibatch get exact zero gradients.  For the default identity
+        # subsample this is the same graph as before.
+        q_sub = subsample(q, batch)
+        return self.objective._loss_and_aux(q_sub, prob_sub, key)
+
     def value_and_grad(self, q, prob, key: jax.Array, obj_state):
         batch, sub_state, sub_info = self.subsampling.step(obj_state)
         prob_sub = subsample(prob, batch)
-        q_sub = subsample(q, batch)
-        grad, _, info = self.objective.value_and_grad(q_sub, prob_sub, key)
+        (_, info), grad = jax.value_and_grad(
+            self._loss_and_aux, has_aux=True
+        )(q, prob_sub, batch, key)
+        info = dict(info)
         info.update(sub_info)
         return grad, sub_state, info
 

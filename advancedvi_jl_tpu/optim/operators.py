@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.pytree import pytree_dataclass, static_field
+from ..families.local import PerDatapointMeanField
 from ..families.location_scale import (
     FullRankLocationScale,
     MeanFieldLocationScale,
@@ -42,7 +43,7 @@ class ClipScale:
 
     def apply(self, q, opt_state):
         eps = self.epsilon
-        if isinstance(q, MeanFieldLocationScale):
+        if isinstance(q, (MeanFieldLocationScale, PerDatapointMeanField)):
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
         if isinstance(q, FullRankLocationScale):
             # Zero the diagonal then set the clamped values, so clamped
