@@ -33,6 +33,22 @@ def _state_axes(state):
     return type(state)(**kwargs)
 
 
+# Fields a chain jitter perturbs, in priority order: location-scale/low-rank
+# families, mixtures (per-component locations), flows (base location).
+_JITTER_FIELDS = ("location", "locations", "base_location")
+
+
+def _jitter_field(q) -> str:
+    for f in _JITTER_FIELDS:
+        if hasattr(q, f):
+            return f
+    raise ValueError(
+        f"jitter != 0 requires the family to expose one of {_JITTER_FIELDS}; "
+        f"{type(q).__name__} has none — pass a pre-stacked q_init with "
+        "stacked=True for custom per-chain initializations."
+    )
+
+
 def init_chains(
     key: jax.Array,
     algorithm,
@@ -40,29 +56,37 @@ def init_chains(
     prob,
     n_chains: int,
     jitter: float = 0.0,
+    stacked: bool = False,
 ):
-    """Initialize K chains: distinct PRNG keys, optionally jittered locations.
+    """Initialize K chains: distinct PRNG keys, optionally jittered inits.
 
-    ``q_init`` may also be a pre-stacked family (leading dim K) for fully
-    custom per-chain initializations.
+    ``stacked=True`` declares ``q_init`` pre-stacked (every leaf carries a
+    leading chain axis of size ``n_chains``) for fully custom per-chain
+    initializations — an explicit flag, because leading-axis heuristics
+    misread mixtures (whose ``locations`` is already 2-D per chain) and
+    flows.  ``jitter`` perturbs the family's location field (works for
+    location-scale, low-rank, mixture, and flow families).
     """
     keys = jax.random.split(key, n_chains)
-    q_leaves = jax.tree.leaves(q_init)
-    stacked = q_leaves[0].ndim >= 1 and hasattr(q_init, "location") and (
-        q_init.location.ndim == 2
-    )
-    if not stacked:
+    if stacked:
+        lead = {x.shape[0] for x in jax.tree.leaves(q_init)}
+        if lead != {n_chains}:
+            raise ValueError(
+                f"stacked q_init must have a leading chain axis of "
+                f"{n_chains} on every leaf; got leading sizes {sorted(lead)}"
+            )
+        qs = q_init
+    else:
+        field = _jitter_field(q_init) if jitter != 0.0 else None
+
         def make_q(k):
             if jitter == 0.0:
                 return q_init
-            noise = jax.random.normal(
-                k, q_init.location.shape, q_init.location.dtype
-            )
-            return q_init.replace(location=q_init.location + jitter * noise)
+            loc = getattr(q_init, field)
+            noise = jax.random.normal(k, loc.shape, loc.dtype)
+            return q_init.replace(**{field: loc + jitter * noise})
 
         qs = jax.vmap(make_q)(keys)
-    else:
-        qs = q_init
 
     def init_one(k, q):
         return algorithm.init(k, q, prob)
@@ -90,6 +114,7 @@ def optimize_chains(
     q_init,
     n_chains: int,
     jitter: float = 0.0,
+    stacked: bool = False,
     states=None,
     axes=None,
 ):
@@ -107,7 +132,7 @@ def optimize_chains(
     """
     if states is None:
         states, axes = init_chains(
-            key, algorithm, q_init, prob, n_chains, jitter
+            key, algorithm, q_init, prob, n_chains, jitter, stacked
         )
 
     def body(carry, _):
