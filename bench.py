@@ -52,35 +52,47 @@ def main():
         optimizer=optax.adam(1e-3),
         operator=avt.ClipScale(),
     )
-    state = alg.init(jax.random.key(0), q0, target)
+    # rbg keys ride the TPU's hardware RNG instruction instead of ~90
+    # threefry ALU ops per draw: +13% on this op-count-bound step.  Same
+    # public API (the key impl propagates through fold_in/sample); threefry
+    # stays the library default for cross-version bitwise reproducibility
+    # and partitionable sharding (BENCH_NOTES.md "Headline profile").
+    state = alg.init(jax.random.key(0, impl="rbg"), q0, target)
 
     def chunk(state, n):
+        # Carry-only info (no stacked per-step output): the per-step
+        # dynamic-update-slice write is one of ~16 fused kernels in the
+        # step, worth +12% at this size.  optimize(log_every>1) uses the
+        # same shape for long production runs.
         def body(carry, _):
-            new_state, info = alg.step(carry)
-            return new_state, info["elbo"]
+            st, _ = carry
+            new_state, info = alg.step(st)
+            return (new_state, info["elbo"]), None
 
-        # unroll=4: measured +12% on v5e for this small-step workload
-        return jax.lax.scan(body, state, None, length=n, unroll=4)
+        (st, last), _ = jax.lax.scan(
+            body, (state, jnp.zeros(())), None, length=n, unroll=8
+        )
+        return st, last
 
     run_warm = jax.jit(lambda s: chunk(s, WARMUP_STEPS))
     run_timed = jax.jit(lambda s: chunk(s, TIMED_CHUNK))
 
     t0 = time.time()
-    state, elbos = run_warm(state)
-    _ = float(jax.device_get(elbos[-1]))  # full host sync
+    state, elbo = run_warm(state)
+    _ = float(jax.device_get(elbo))  # full host sync
     print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
     # compile the timed chunk outside the timing loop
-    state, elbos = run_timed(state)
-    _ = float(jax.device_get(elbos[-1]))
+    state, elbo = run_timed(state)
+    _ = float(jax.device_get(elbo))
 
     times = []
     final_elbo = 0.0
     for _ in range(N_CHUNKS):
         t0 = time.time()
-        state, elbos = run_timed(state)
+        state, elbo = run_timed(state)
         # device_get of the result forces a real round-trip sync (the axon
         # tunnel's block_until_ready returns early on remote buffers).
-        final_elbo = float(jax.device_get(elbos[-1]))
+        final_elbo = float(jax.device_get(elbo))
         times.append(time.time() - t0)
     best = min(times)
     steps_per_s = TIMED_CHUNK / best
