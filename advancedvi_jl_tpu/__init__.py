@@ -75,6 +75,7 @@ from .objectives.entropy import (
     STL_ZERO_GRAD,
     estimate_entropy,
 )
+from .objectives.iwelbo import IWELBO, KLMinIWRepGradDescent
 from .objectives.repgradelbo import RepGradELBO
 from .objectives.scoregradelbo import ScoreGradELBO
 from .objectives.subsampled import SubsampledObjective
