@@ -49,16 +49,11 @@ class FactorizedTarget:
         return ORDER_JAX
 
     def log_density(self, theta: jax.Array) -> jax.Array:
-        data = self.data
-        if self.data_axis is not None:
-            from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import shard_axis0
 
-            data = jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(
-                    x, P(self.data_axis, *([None] * (x.ndim - 1)))
-                ),
-                data,
-            )
+        data = jax.tree.map(
+            lambda x: shard_axis0(x, self.data_axis), self.data
+        )
         return self.logprior_fn(theta) + self.likeadj * self.loglike_fn(
             theta, data
         )

@@ -202,6 +202,32 @@ def stacked(*pairs: Tuple[Transform, int]) -> Stacked:
 
 
 @pytree_dataclass
+class Blockwise(Transform):
+    """Apply one block transform independently to ``n_blocks`` contiguous
+    blocks of the vector (vmapped), e.g. a batch of simplices: a (B, K)
+    Dirichlet site is B independent K-simplices, NOT one (B*K)-simplex.
+    ``block_in``/``block_out`` are the per-block unconstrained/constrained
+    sizes (they differ for dimension-changing bijections)."""
+
+    inner: Transform = static_field()
+    n_blocks: int = static_field()
+    block_in: int = static_field()
+    block_out: int = static_field()
+
+    def forward_and_ldj(self, x):
+        xb = x.reshape(self.n_blocks, self.block_in)
+        y, ldj = jax.vmap(self.inner.forward_and_ldj)(xb)
+        return y.reshape(-1), jnp.sum(ldj)
+
+    def inverse(self, y):
+        yb = y.reshape(self.n_blocks, self.block_out)
+        return jax.vmap(self.inner.inverse)(yb).reshape(-1)
+
+    def unconstrained_dim(self, constrained_dim: int) -> int:
+        return self.n_blocks * self.block_in
+
+
+@pytree_dataclass
 class TransformedTarget:
     """Change-of-variables wrapper: unconstrained-space log density.
 

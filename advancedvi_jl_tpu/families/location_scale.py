@@ -126,12 +126,11 @@ class FullRankLocationScale:
         return self.location.shape[-1]
 
     def tril_scale(self) -> jax.Array:
-        C = jnp.tril(self.scale)
-        if self.tp_axis is not None:
-            from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import shard_axis0
 
-            C = jax.lax.with_sharding_constraint(C, P(self.tp_axis, None))
-        return C
+        # shard_axis0 no-ops outside a mesh, so a tp-configured family still
+        # evaluates on a single device (e.g. post-training diagnostics).
+        return shard_axis0(jnp.tril(self.scale), self.tp_axis)
 
     def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
         return self.sample_with_base(key, n_samples)[0]

@@ -261,13 +261,10 @@ class MixtureELBO:
                 f"unknown mixture entropy estimator: {self.entropy!r} "
                 "(supported: 'monte_carlo', 'stl')"
             )
-        z = q.sample_stratified(key, self.n_samples)  # (K, n, d)
-        if self.ep_axis is not None:
-            from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import shard_axis0
 
-            z = jax.lax.with_sharding_constraint(
-                z, P(self.ep_axis, None, None)
-            )
+        z = q.sample_stratified(key, self.n_samples)  # (K, n, d)
+        z = shard_axis0(z, self.ep_axis)
         q_for_logq = tree_stop_gradient(q) if self.entropy == "stl" else q
         logq = q_for_logq.log_prob(z)  # (K, n)
         energy = jax.vmap(jax.vmap(prob.log_density))(z)  # (K, n)

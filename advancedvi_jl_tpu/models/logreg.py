@@ -68,10 +68,9 @@ class LogReg:
         )
 
         logits = self.X @ beta  # one MXU matvec over the whole (mini)batch
-        if self.data_axis is not None:
-            from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import shard_axis0
 
-            logits = jax.lax.with_sharding_constraint(logits, P(self.data_axis))
+        logits = shard_axis0(logits, self.data_axis)
         # Bernoulli-logit: y * l - softplus(l), fused elementwise on the VPU.
         loglike = jnp.sum(self.y * logits - jax.nn.softplus(logits))
         return self.likeadj * loglike + logprior_beta + logprior_sigma

@@ -35,9 +35,19 @@ class SubsampledObjective:
 
         (The reference also conditions AD preparation on a minibatch-typed
         problem, subsampledobjective.jl:22-45; jit tracing on the first step
-        does that implicitly here.)
+        does that implicitly here.)  The inner objective's ``init`` runs too
+        so its validation (e.g. IWELBO's log_prob requirement, FlowELBO's
+        STL-needs-analytic-inverse check) fires early instead of as an
+        opaque trace-time error.
         """
-        sub_key, _ = jax.random.split(key)
+        sub_key, inner_key = jax.random.split(key)
+        inner_state = self.objective.init(inner_key, q, prob)
+        if inner_state != ():
+            raise NotImplementedError(
+                "SubsampledObjective only composes with stateless "
+                f"objectives; {type(self.objective).__name__}.init returned "
+                "non-empty state."
+            )
         return self.subsampling.init(sub_key)
 
     def _loss_and_aux(self, q, prob_sub, batch, key):

@@ -55,7 +55,10 @@ def _steps_scanned(alg, state, n_steps: int, unroll: int = 1):
     return jax.lax.scan(body, state, None, length=n_steps, unroll=unroll)
 
 
-def _steps_grouped(alg, state, n_groups: int, group: int, start_it):
+def _steps_grouped(
+    alg, state, n_groups: int, group: int, start_it,
+    unroll: int = 1, early_exit: bool = True,
+):
     """Nested scan recording one info row per ``group`` steps.
 
     Host memory stays O(n_groups) instead of O(n_groups * group) — the
@@ -63,10 +66,14 @@ def _steps_grouped(alg, state, n_groups: int, group: int, start_it):
     progress meter instead of materializing, optimize.jl:64-78; here the
     device loop keeps only each group's last info).
 
-    Early-exit divergence: once a step reports ``diverged``, every later
-    step is skipped via ``lax.cond`` (the skip branch just forwards the
-    carry, so the rest of the scan is ~free) and the exact first bad
-    iteration is carried out for the host-side raise.
+    Early-exit divergence (only when the driver will raise on it, i.e.
+    ``check_divergence=True``): once a step reports ``diverged``, every
+    later step is skipped via ``lax.cond`` (the skip branch just forwards
+    the carry, so the rest of the scan is ~free) and the exact first bad
+    iteration is carried out for the host-side raise.  With
+    ``early_exit=False`` every step runs unconditionally — a user who
+    disabled divergence checking to push through transient non-finite
+    objectives keeps optimizing.
     """
     import jax.numpy as jnp
 
@@ -80,21 +87,25 @@ def _steps_grouped(alg, state, n_groups: int, group: int, start_it):
     def body(carry, _):
         st, info_prev, div, first_bad, t = carry
 
-        def do(args):
-            st, _ = args
-            return alg.step(st)
+        if early_exit:
+            def do(args):
+                st, _ = args
+                return alg.step(st)
 
-        def skip(args):
-            return args
+            def skip(args):
+                return args
 
-        st_new, info = jax.lax.cond(div, skip, do, (st, info_prev))
+            st_new, info = jax.lax.cond(div, skip, do, (st, info_prev))
+        else:
+            st_new, info = alg.step(st)
         d_step = info.get("diverged", jnp.asarray(False))
         div_new = div | d_step
         first_bad = jnp.where(div_new & ~div, t + 1, first_bad)
         return (st_new, info, div_new, first_bad, t + 1), None
 
     def outer(carry, _):
-        carry, _ = jax.lax.scan(body, carry, None, length=group)
+        carry, _ = jax.lax.scan(body, carry, None, length=group,
+                                unroll=unroll)
         return carry, carry[1]  # last info of the group
 
     init = (state, info0, jnp.asarray(False), jnp.zeros_like(t0), t0)
@@ -200,8 +211,13 @@ def _optimize_loop(
                 print(f"  iter {t + 1}/{max_iter}  elbo={elbo}")
     elif log_every > 1:
         # Thinned scan mode: on-device nested scan, one info row per
-        # log_every steps, early-exit after divergence, exact bad iteration.
+        # log_every steps; with check_divergence, early-exit after
+        # divergence and raise at the exact bad iteration.
+        # Chunks are normalized to a multiple of log_every so recorded
+        # iterations stay on the log_every grid and only the final
+        # max_iter-remainder group (if any) compiles a second program.
         chunk = chunk_size or max_iter
+        chunk = max(log_every, (chunk // log_every) * log_every)
         done = 0
         while done < max_iter:
             n = min(chunk, max_iter - done)
@@ -213,10 +229,11 @@ def _optimize_loop(
                     continue
                 fn = _cached_jit(
                     algorithm,
-                    f"grouped_{n_groups}_{group}",
+                    f"grouped_{n_groups}_{group}_{unroll}_{check_divergence}",
                     lambda: jax.jit(
                         lambda s, t0: _steps_grouped(
-                            algorithm, s, n_groups, group, t0
+                            algorithm, s, n_groups, group, t0,
+                            unroll=unroll, early_exit=check_divergence,
                         )
                     ),
                 )

@@ -69,14 +69,28 @@ def init_chains(
     """
     keys = jax.random.split(key, n_chains)
     if stacked:
-        lead = {x.shape[0] for x in jax.tree.leaves(q_init)}
+        lead = {
+            (x.shape[0] if x.ndim else None) for x in jax.tree.leaves(q_init)
+        }
         if lead != {n_chains}:
             raise ValueError(
                 f"stacked q_init must have a leading chain axis of "
-                f"{n_chains} on every leaf; got leading sizes {sorted(lead)}"
+                f"{n_chains} on every leaf; got leading sizes "
+                f"{sorted(lead, key=str)} (None = 0-d leaf, which cannot "
+                "carry a chain axis)"
             )
         qs = q_init
     else:
+        # Guard against the pre-round-2 calling convention (pre-stacked
+        # location-scale q without the flag): a 2-D `location` on a family
+        # whose location is 1-D always means a leading chain axis.
+        loc = getattr(q_init, "location", None)
+        if loc is not None and loc.ndim >= 2:
+            raise ValueError(
+                "q_init.location has a leading batch axis "
+                f"{loc.shape}; for pre-stacked per-chain initializations "
+                "pass stacked=True."
+            )
         field = _jitter_field(q_init) if jitter != 0.0 else None
 
         def make_q(k):

@@ -72,9 +72,16 @@ def shard_axis0(x: jax.Array, axis: Optional[str]) -> jax.Array:
     The single annotation point for the MC/data axes: the (n, ...) batch of
     draws or minibatch rows is marked sharded, and GSPMD propagates the
     layout through the per-sample computation and inserts the psum on the
-    mean-reductions.  No-op when ``axis`` is None (single-device runs).
+    mean-reductions.  No-op when ``axis`` is None, when no mesh is active,
+    or when the active mesh lacks ``axis`` — so objects configured with a
+    mesh axis (algorithms, targets, families) still evaluate outside
+    ``jax.set_mesh`` (e.g. post-training ``estimate_objective`` on one
+    device) instead of crashing on the sharding constraint.
     """
     if axis is None:
+        return x
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or mesh.empty or axis not in mesh.axis_names:
         return x
     spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, spec)

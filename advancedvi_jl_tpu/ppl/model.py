@@ -51,6 +51,7 @@ import jax.numpy as jnp
 from ..core.problem import ORDER_JAX, fn_target
 from ..core.pytree import pytree_dataclass, static_field
 from ..core.transforms import (
+    Blockwise,
     Identity,
     Sigmoid,
     Softplus,
@@ -186,7 +187,21 @@ def _site_transform(meta):
         lo, hi = meta["interval"]
         return Sigmoid(lo=lo, hi=hi)
     if s == "simplex":
-        return StickBreakingSimplex()
+        # The simplex is a BLOCK support over the LAST axis: a (..., K)
+        # Dirichlet site is prod(batch) independent K-simplices, each with
+        # its own stick-breaking map and Jacobian — not one flattened
+        # (prod(shape))-simplex.
+        shape = meta["shape"]
+        k = shape[-1]
+        n_blocks = int(math.prod(shape[:-1])) if len(shape) > 1 else 1
+        if n_blocks == 1:
+            return StickBreakingSimplex()
+        return Blockwise(
+            inner=StickBreakingSimplex(),
+            n_blocks=n_blocks,
+            block_in=k - 1,
+            block_out=k,
+        )
     raise ValueError(f"unknown support {s!r}")
 
 
@@ -195,10 +210,11 @@ def _constrained_size(meta) -> int:
 
 
 def _unconstrained_size(meta) -> int:
-    n = _constrained_size(meta)
     if meta["support"] == "simplex":
-        return n - 1
-    return n
+        shape = meta["shape"]
+        n_blocks = int(math.prod(shape[:-1])) if len(shape) > 1 else 1
+        return n_blocks * (shape[-1] - 1)
+    return _constrained_size(meta)
 
 
 # ---------------------------------------------------------------------------

@@ -150,3 +150,16 @@ def test_chains_stacked_flag_explicit(key):
 
     with pytest.raises(ValueError, match="pre-stacked"):
         _jitter_field(NoLoc())
+
+
+def test_chains_prestacked_without_flag_raises(key):
+    """Round-2 review fix: the old heuristic calling convention (pre-stacked
+    location without stacked=True) now raises a pointed error instead of a
+    cryptic broadcast failure."""
+    target, _, _ = normal_meanfield(jax.random.key(1), 3)
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=4, operator=avt.ClipScale()
+    )
+    q_stack = avt.MeanFieldGaussian(jnp.zeros((4, 3)), jnp.ones((4, 3)))
+    with pytest.raises(ValueError, match="stacked=True"):
+        init_chains(key, alg, q_stack, target, n_chains=4)

@@ -112,3 +112,29 @@ def test_log_every_validation(key):
     q0 = avt.MeanFieldGaussian(jnp.zeros(4), jnp.ones(4))
     with pytest.raises(ValueError, match="log_every"):
         avt.optimize(key, _alg(), 10, target, q0, log_every=0)
+
+
+def test_thinned_mode_no_early_exit_when_check_disabled(key):
+    """check_divergence=False must keep stepping through non-finite
+    objectives in thinned mode (round-2 review fix: the lax.cond skip was
+    unconditionally wired, freezing optimization at the first NaN)."""
+    target, mu, sd = normal_meanfield(jax.random.key(3), 4)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(4), jnp.ones(4))
+    blowup = _alg(lr=1e8)
+    _, infos, state = avt.optimize(
+        key, blowup, 100, target, q0, log_every=10, check_divergence=False
+    )
+    assert int(state.iteration) == 100  # all steps executed, none skipped
+    assert len(infos) == 10
+
+
+def test_thinned_mode_chunk_not_multiple_of_log_every(key):
+    """chunk_size is normalized to the log_every grid: recorded iterations
+    stay on multiples of log_every (+ the final remainder row)."""
+    target, mu, sd = normal_meanfield(jax.random.key(3), 4)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(4), jnp.ones(4))
+    _, infos, state = avt.optimize(
+        key, _alg(), 230, target, q0, log_every=50, chunk_size=120
+    )
+    assert int(state.iteration) == 230
+    assert [r["iteration"] for r in infos] == [50, 100, 150, 200, 230]

@@ -178,3 +178,23 @@ def test_iwelbo_sharded_equals_single(key):
     np.testing.assert_allclose(
         float(info_s["elbo"]), float(info_m["elbo"]), rtol=1e-5
     )
+
+
+def test_iwelbo_validation_fires_under_subsampling(key):
+    """Round-2 review fix: SubsampledObjective.init delegates to the inner
+    objective, so IWELBO's log_prob requirement raises early."""
+    from advancedvi_jl_tpu.core.factorized import factorized_target
+
+    y = jnp.ones(16)
+    target = factorized_target(
+        logprior_fn=lambda th: jnp.zeros(()),
+        loglike_fn=lambda th, d: -0.5 * jnp.sum(jnp.square(d["y"] - th[0])),
+        data={"y": y}, dim=2,
+    )
+    q_flow = avt.planar_flow(jax.random.key(0), dim=2, n_layers=2)
+    alg = avt.KLMinIWRepGradDescent(
+        n_samples=4,
+        subsampling=avt.ReshufflingBatchSubsampling(n_data=16, batchsize=4),
+    )
+    with pytest.raises(ValueError, match="log_prob"):
+        alg.init(key, q_flow, target)

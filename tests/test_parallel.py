@@ -253,3 +253,42 @@ def test_scoregrad_sharded_equals_single(key):
     np.testing.assert_allclose(
         np.asarray(info_s["elbo"]), np.asarray(info_m["elbo"]), rtol=1e-5
     )
+
+
+def test_mc_axis_objects_evaluate_outside_mesh(key):
+    """Round-2 review fix: algorithms/objectives/targets configured with a
+    mesh axis must still evaluate OUTSIDE jax.set_mesh (the common
+    post-training pattern) — shard_axis0 no-ops without an active mesh."""
+    from advancedvi_jl_tpu.algorithms.measure_space import (
+        FisherMinBatchMatch,
+        KLMinNaturalGradDescent,
+    )
+
+    target, mu, L = normal_fullrank(jax.random.key(3), 4)
+    qf = avt.FullRankGaussian(jnp.zeros(4))
+    qm = avt.MeanFieldGaussian(jnp.zeros(4), jnp.ones(4))
+
+    # no mesh context anywhere below
+    v1 = avt.ScoreGradELBO(n_samples=8, mc_axis=MC_AXIS).estimate_objective(
+        key, qm, target
+    )
+    v2 = KLMinNaturalGradDescent(
+        stepsize=0.05, n_samples=8, mc_axis=MC_AXIS
+    ).estimate_objective(key, qf, target)
+    v3 = FisherMinBatchMatch(
+        n_samples=8, mc_axis=MC_AXIS
+    ).estimate_objective(key, qf, target)
+    v4 = avt.RepGradELBO(n_samples=8, mc_axis=MC_AXIS).estimate_objective(
+        key, qm, target
+    )
+    v5 = avt.IWELBO(n_samples=8, mc_axis=MC_AXIS).estimate_objective(
+        key, qm, target
+    )
+    for v in (v1, v2, v3, v4, v5):
+        assert np.isfinite(float(v))
+
+    # full training step too (e.g. resuming a mesh-trained state on 1 device)
+    alg = KLMinNaturalGradDescent(stepsize=0.05, n_samples=8, mc_axis=MC_AXIS)
+    st = alg.init(key, qf, target)
+    st, info = jax.jit(alg.step)(st)
+    assert np.isfinite(float(info["elbo"]))

@@ -265,3 +265,37 @@ def test_from_numpyro_import_error_message():
         pass
     with pytest.raises(ImportError, match="ppl.ingest"):
         ppl.from_numpyro(lambda: None)
+
+
+def test_batched_dirichlet_site(key):
+    """A (B, K) Dirichlet latent is B independent K-simplices (round-2
+    review fix): correct dims, each row sums to 1, conjugate posterior per
+    row recovered."""
+    alpha = jnp.asarray([[2.0, 1.0, 3.0], [1.0, 1.0, 1.0]])
+    counts = jnp.asarray([[8.0, 3.0, 9.0], [2.0, 10.0, 4.0]])
+    obs0 = jnp.repeat(jnp.arange(3), counts[0].astype(int))
+    obs1 = jnp.repeat(jnp.arange(3), counts[1].astype(int))
+
+    def model():
+        p = ppl.sample("p", ppl.Dirichlet(alpha))  # (2, 3)
+        ppl.sample("y0", ppl.Categorical(logits=jnp.log(p[0])), obs=obs0)
+        ppl.sample("y1", ppl.Categorical(logits=jnp.log(p[1])), obs=obs1)
+
+    m = ppl.ingest(model)
+    assert m.dim == 4 and m.dim_constrained == 6
+    vals = m.constrain(jnp.zeros(4))
+    np.testing.assert_allclose(
+        np.asarray(vals["p"]).sum(axis=-1), [1.0, 1.0], rtol=1e-5
+    )
+
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=32, optimizer=optax.adam(1e-2),
+        operator=avt.ClipScale(),
+    )
+    q, _, _ = avt.optimize(key, alg, 3000, m.target, m.q_init())
+    post = m.sample_posterior(jax.random.key(5), q, 50_000)
+    p_mean = np.asarray(jnp.mean(post["p"], axis=0))
+    exact = np.asarray(
+        (alpha + counts) / jnp.sum(alpha + counts, axis=-1, keepdims=True)
+    )
+    np.testing.assert_allclose(p_mean, exact, atol=0.03)
