@@ -65,6 +65,7 @@ from .families.flows import (
     planar_flow,
     radial_flow,
 )
+from .families.blockdiag import BlockDiagGaussian, BlockDiagLocationScale
 from .families.local import PerDatapointMeanField, per_datapoint_meanfield
 from .families.low_rank import LowRankGaussian, LowRankLocationScale
 from .objectives.entropy import (

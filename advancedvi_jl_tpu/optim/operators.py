@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.pytree import pytree_dataclass, static_field
+from ..families.blockdiag import BlockDiagLocationScale
 from ..families.local import PerDatapointMeanField
 from ..families.location_scale import (
     FullRankLocationScale,
@@ -60,8 +61,8 @@ class ClipScale:
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
         if isinstance(q, MixtureMeanField):
             return q.replace(scale_diags=jnp.maximum(q.scale_diags, eps))
-        if isinstance(q, MixtureFullRank):
-            diag = jnp.diagonal(q.scales, axis1=-2, axis2=-1)  # (K, d)
+        if isinstance(q, (MixtureFullRank, BlockDiagLocationScale)):
+            diag = jnp.diagonal(q.scales, axis1=-2, axis2=-1)  # (K|B, k)
             delta = jnp.maximum(diag, eps) - diag
             eye = jnp.eye(diag.shape[-1], dtype=q.scales.dtype)
             return q.replace(scales=q.scales + delta[:, :, None] * eye)
