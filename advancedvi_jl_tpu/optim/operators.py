@@ -94,13 +94,22 @@ class ProximalLocationScaleEntropy:
         def prox(sigma):
             return sigma / 2.0 + jnp.sqrt(jnp.square(sigma) + 4.0 * gamma) / 2.0
 
-        if isinstance(q, MeanFieldLocationScale):
+        if isinstance(q, (MeanFieldLocationScale, PerDatapointMeanField)):
             return q.replace(scale_diag=prox(q.scale_diag))
         if isinstance(q, FullRankLocationScale):
             C = q.scale  # upper triangle inert; only the diagonal moves
             diag = jnp.diag(C)
             C = C + jnp.diag(prox(diag) - diag)
             return q.replace(scale=C)
+        # NOTE: the low-rank family is deliberately NOT supported (matching
+        # the reference, proximal_location_scale_entropy.jl:23): its entropy
+        # carries a logdet-lemma term coupling scale_diag to the low-rank
+        # factor, so the diagonal-only closed form would be inexact.
+        if isinstance(q, BlockDiagLocationScale):
+            diag = jnp.diagonal(q.scales, axis1=-2, axis2=-1)  # (B, k)
+            delta = prox(diag) - diag
+            eye = jnp.eye(diag.shape[-1], dtype=q.scales.dtype)
+            return q.replace(scales=q.scales + delta[:, :, None] * eye)
         raise TypeError(
             "ProximalLocationScaleEntropy only supports location-scale "
             f"families, got {type(q).__name__}"

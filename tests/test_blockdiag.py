@@ -152,3 +152,19 @@ def test_blockdiag_block_axis_sharded_equals_single(key):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_blockdiag_proximal_descent(key):
+    """KLMinRepGradProxDescent works with the block-diagonal family: the
+    entropy prox has the same closed form as full-rank (log-barrier only on
+    the block diagonals)."""
+    from advancedvi_jl_tpu.models.normal import normal_fullrank
+
+    target, mu, L = normal_fullrank(jax.random.key(9), 4)
+    q0 = avt.BlockDiagGaussian(jnp.zeros(4), n_blocks=2)
+    alg = avt.KLMinRepGradProxDescent(n_samples=8)
+    q, infos, _ = avt.optimize(key, alg, 1500, target, q0)
+    assert np.isfinite(infos[-1]["elbo"])
+    assert float(jnp.linalg.norm(q.location - mu)) < 0.1
+    diag = np.asarray(jnp.diagonal(q.scales, axis1=-2, axis2=-1))
+    assert (diag > 0).all()  # prox keeps the scale strictly positive
