@@ -60,15 +60,29 @@ class IWELBO:
     mc_axis: Optional[str] = static_field(default=None)
 
     def init(self, key, q, prob):
+        self._check_family(q)
+        return ()
+
+    @staticmethod
+    def _check_family(q) -> None:
         if not hasattr(q, "log_prob"):
             raise ValueError(
                 "IWELBO requires a family with log_prob (importance weights "
                 f"need the density at drawn points); {type(q).__name__} "
                 "has none."
             )
-        return ()
+        if getattr(q, "weight", 1.0) != 1.0:
+            # log w = log p - weight * log q is NOT the importance weight of
+            # any distribution — weighted-density bookkeeping is only valid
+            # for estimators linear in log q (the pathwise ELBOs).
+            raise ValueError(
+                "IWELBO does not support weighted-density families "
+                f"({type(q).__name__} with weight={q.weight}); use "
+                "RepGradELBO for amortized subsampling."
+            )
 
     def _loss_and_aux(self, q, prob, key: jax.Array):
+        self._check_family(q)
         prob = maybe_wrap_custom_grad(prob)
         k = self.n_samples
         q_stop = tree_stop_gradient(q)

@@ -51,10 +51,22 @@ class ScoreGradELBO:
 
         Stop-gradient placement mirrors the reference exactly
         (scoregradelbo.jl:87-94): samples and log-pi are detached; only the
-        ``q.log_prob`` term carries gradients.  log_pi/log_q are returned as
-        aux so the ELBO info needs no second target evaluation — for
-        host-callback targets that halves the per-step round trips.
+        ``q.log_prob`` term carries gradients.
+
+        Families with WEIGHTED density bookkeeping (PerDatapointMeanField
+        under subsampling, weight = N/B) are rejected: VarGrad is quadratic
+        in f = log q - log pi, so a weight w rescales the gradient by w^2
+        instead of the w the subsampled-ELBO estimator needs — a silently
+        wrong step size.  Use the pathwise objectives (RepGradELBO), whose
+        estimators are linear in the weighted terms.
         """
+        if getattr(q, "weight", 1.0) != 1.0:
+            raise ValueError(
+                "ScoreGradELBO (VarGrad) does not support weighted-density "
+                f"families ({type(q).__name__} with weight={q.weight}): the "
+                "quadratic control variate mis-scales the subsampled "
+                "gradient. Use RepGradELBO for amortized subsampling."
+            )
         q_stop = tree_stop_gradient(q)
         samples = jax.lax.stop_gradient(q_stop.sample(key, self.n_samples))
         # Shard the sample axis over the mesh: per-sample log pi / log q

@@ -131,3 +131,22 @@ def test_amortized_doubly_stochastic_convergence(key):
         rtol=0.15,
     )
     assert np.isfinite(infos[-1]["elbo"])
+
+
+def test_weighted_family_rejected_by_quadratic_objectives(key):
+    """VarGrad (quadratic in log q) and IWELBO (exponential in log q) are
+    invalid with weighted-density families — both reject with guidance
+    toward the pathwise objectives."""
+    import pytest
+
+    target, q, _ = _make()
+    q_sub = q.subsample(jnp.arange(8))
+    assert q_sub.weight == N / 8
+
+    with pytest.raises(ValueError, match="RepGradELBO"):
+        avt.ScoreGradELBO(n_samples=4).loss(q_sub, target.subsample(jnp.arange(8)), key)
+    with pytest.raises(ValueError, match="RepGradELBO"):
+        avt.IWELBO(n_samples=4).init(key, q_sub, target)
+    # full (weight=1) families remain accepted
+    v = avt.ScoreGradELBO(n_samples=4).loss(q, target, key)
+    assert np.isfinite(float(v))
