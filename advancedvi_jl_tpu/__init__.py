@@ -108,6 +108,7 @@ from .optimize import DivergenceError, optimize
 from .parallel.mesh import DATA_AXIS, MC_AXIS, make_vi_mesh
 from .subsampling import ReshufflingBatchSubsampling
 from .utils.checkpoint import restore_state, save_state
+from .utils.data import HostDataLoader, PrefetchingLoader, optimize_streamed
 from .utils.diagnostics import importance_diagnostics, pareto_khat
 
 from . import ppl  # model-ingestion DSL + numpyro bridge (L8)

@@ -140,3 +140,121 @@ class HostDataLoader:
                 self.seed + 0x9E3779B9 * self.epoch, self.n_data
             )
         return Xb, yb, idx
+
+
+class PrefetchingLoader:
+    """Background-thread prefetch around a HostDataLoader.
+
+    While the device runs step t, a host thread gathers batch t+1 with the
+    native engine — the threaded memcpy overlaps device compute instead of
+    serializing with it (depth 2 suffices since VI steps consume one batch
+    each).  The worker stays pure-host (numpy only): issuing jax ops from a
+    second thread while the main thread compiles is not safe, so the
+    device transfer happens on the consuming thread.
+    """
+
+    def __init__(self, loader: HostDataLoader, depth: int = 2):
+        import queue
+        import threading
+
+        self.loader = loader
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            import queue as _queue
+
+            while not self._stop.is_set():
+                item = self.loader.next_batch()
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(item, timeout=0.1)
+                        break
+                    except _queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def next_batch(self):
+        return self._queue.get()
+
+    def close(self) -> None:
+        self._stop.set()
+        # drain so the worker unblocks from a full queue
+        try:
+            while True:
+                self._queue.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def optimize_streamed(
+    key,
+    algorithm,
+    max_iter: int,
+    prob_template,
+    place_batch,
+    loader,
+    q_init,
+):
+    """Host-streamed doubly-stochastic VI for datasets beyond HBM.
+
+    The device-side schedule (ReshufflingBatchSubsampling) requires the full
+    dataset resident on device; this driver instead streams minibatches from
+    host RAM through the native gather engine (wrap the loader in
+    PrefetchingLoader to overlap the gathers with device compute):
+
+        prob = factorized_target(logprior, loglike,
+                                 data={"y": y_staging}, dim=d)
+        prob = dataclasses.replace(prob, likeadj=jnp.asarray(N / B))
+        q, infos, state = optimize_streamed(
+            key, alg, 10_000, prob,
+            place_batch=lambda p, Xb, yb: dataclasses.replace(
+                p, data={"y": yb}),
+            loader=PrefetchingLoader(HostDataLoader(X, y, batchsize=B)),
+            q_init=q0)
+
+    ``prob_template`` is built ONCE (batch-shaped data, likeadj = N/B
+    already applied); ``place_batch(prob, X_batch, y_batch) -> prob`` must
+    only swap array leaves (e.g. ``dataclasses.replace(prob, data=...)``) —
+    creating a fresh target with new closures per step would change the jit
+    cache key and recompile every iteration.  ``algorithm`` is any
+    ParamSpaceSGD whose objective does NOT also wrap SubsampledObjective
+    (batching happens here).  Returns ``(output, infos, state)`` like
+    ``optimize``.
+    """
+    import dataclasses
+
+    import jax
+
+    state = algorithm.init(key, q_init, prob_template)
+
+    def step_fn(state, Xb, yb):
+        prob = place_batch(state.prob, Xb, yb)
+        state = dataclasses.replace(state, prob=prob)
+        return algorithm.step(state)
+
+    step = jax.jit(step_fn)
+    infos = []
+    for t in range(max_iter):
+        Xb, yb, _ = loader.next_batch()
+        state, info = step(state, Xb, yb)
+        infos.append(dict(jax.device_get(info)))
+        if infos[-1].get("diverged", False):
+            from ..optimize import DivergenceError
+
+            raise DivergenceError(
+                f"The objective became non-finite at iteration {t + 1}."
+            )
+    for i, row in enumerate(infos):
+        row["iteration"] = i + 1
+    return algorithm.output(state), infos, state

@@ -184,3 +184,75 @@ def test_host_loader_feeds_optimize_end_to_end(key):
     out = alg.output(state)
     err = np.linalg.norm(np.asarray(out.location) - post_mean)
     assert err < 0.15 * np.linalg.norm(post_mean), err
+
+
+def test_prefetching_loader_matches_plain(key):
+    """Prefetch thread + device staging preserves the exact batch sequence."""
+    import numpy as np
+
+    from advancedvi_jl_tpu.utils.data import PrefetchingLoader
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((64, 4)).astype(np.float32)
+    y = rng.standard_normal(64).astype(np.float32)
+
+    plain = HostDataLoader(X, y, batchsize=16, seed=5)
+    with PrefetchingLoader(HostDataLoader(X, y, batchsize=16, seed=5)) as pf:
+        for _ in range(9):  # across an epoch boundary
+            Xb1, yb1, idx1 = plain.next_batch()
+            Xb2, yb2, idx2 = pf.next_batch()
+            np.testing.assert_array_equal(idx1, idx2)
+            np.testing.assert_array_equal(Xb1, np.asarray(Xb2))
+            np.testing.assert_array_equal(yb1, np.asarray(yb2))
+
+
+def test_optimize_streamed_end_to_end(key):
+    """Host-streamed subsampled ADVI through the native gather engine
+    converges to the conjugate posterior: the full beyond-HBM training path
+    (C++ gathers -> prefetch thread -> device staging -> one jitted step)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import advancedvi_jl_tpu as avt
+    from advancedvi_jl_tpu.core.factorized import factorized_target
+    from advancedvi_jl_tpu.utils.data import PrefetchingLoader
+
+    import dataclasses
+
+    N, B = 256, 32
+    rng = np.random.default_rng(7)
+    y = (1.5 + rng.standard_normal(N)).astype(np.float32)
+
+    prob = factorized_target(
+        logprior_fn=lambda th: -0.5 * jnp.sum(jnp.square(th)),
+        loglike_fn=lambda th, d: jnp.sum(
+            -0.5 * jnp.square(d["y"][:, 0] - th[0])
+        ),
+        data={"y": jnp.zeros((B, 1))},  # batch-shaped staging data
+        dim=1,
+    )
+    prob = dataclasses.replace(prob, likeadj=jnp.asarray(N / B, jnp.float32))
+
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=8, optimizer=optax.adam(1e-2),
+        operator=avt.ClipScale(),
+    )
+    q0 = avt.MeanFieldGaussian(jnp.zeros(1), jnp.ones(1))
+    # X unused by this model; the loader requires one -> pass zeros as X
+    with PrefetchingLoader(HostDataLoader(
+        np.zeros((N, 1), np.float32), y, batchsize=B, seed=0
+    )) as loader:
+        q, infos, state = avt.optimize_streamed(
+            key, alg, 2000, prob,
+            place_batch=lambda p, Xb, yb: dataclasses.replace(
+                p, data={"y": yb}
+            ),
+            loader=loader, q_init=q0,
+        )
+
+    post_mean = float(np.sum(y) / (N + 1))
+    post_sd = (1.0 / (N + 1)) ** 0.5
+    assert abs(float(q.location[0]) - post_mean) < 0.05
+    np.testing.assert_allclose(float(q.scale_diag[0]), post_sd, rtol=0.25)
+    assert infos[-1]["iteration"] == 2000
