@@ -76,6 +76,11 @@ from .objectives.entropy import (
     STL_ZERO_GRAD,
     estimate_entropy,
 )
+from .algorithms.pathfinder import (
+    PathfinderResult,
+    multipath_pathfinder,
+    pathfinder,
+)
 from .objectives.iwelbo import IWELBO, KLMinIWRepGradDescent
 from .objectives.repgradelbo import RepGradELBO
 from .objectives.scoregradelbo import ScoreGradELBO
