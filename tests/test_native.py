@@ -186,6 +186,102 @@ def test_host_loader_feeds_optimize_end_to_end(key):
     assert err < 0.15 * np.linalg.norm(post_mean), err
 
 
+class TestFfiTrisolve:
+    """C++ XLA-FFI custom call (ops/cpp/ffi_trisolve.cc): the native batched
+    triangular solve registered with the CPU backend via jax.ffi
+    (SURVEY §2.8.2/§2.8.4; reference hot path location_scale.jl:59-63)."""
+
+    def _problem(self, d, n, dtype=np.float32, seed=0):
+        rng = np.random.default_rng(seed)
+        L = np.tril(rng.normal(size=(d, d)).astype(dtype)) + 3 * np.eye(
+            d, dtype=dtype
+        )
+        B = rng.normal(size=(d, n)).astype(dtype)
+        return jnp.asarray(L), jnp.asarray(B)
+
+    def test_ffi_kernel_compiles_and_registers(self):
+        from advancedvi_jl_tpu.ops.native_ffi import ffi_available
+
+        assert ffi_available(), "FFI trisolve failed to build/register"
+
+    @pytest.mark.parametrize("trans", [False, True])
+    @pytest.mark.parametrize("d,n", [(3, 7), (64, 500), (257, 1000)])
+    def test_matches_xla_triangular_solve(self, d, n, trans):
+        from advancedvi_jl_tpu.ops.native_ffi import trisolve
+
+        L, B = self._problem(d, n)
+        X = trisolve(L, B, trans=trans)
+        ref = jax.scipy.linalg.solve_triangular(
+            L, B, lower=True, trans=1 if trans else 0
+        )
+        np.testing.assert_allclose(
+            np.asarray(X), np.asarray(ref),
+            atol=2e-4 * float(jnp.abs(ref).max()),
+        )
+
+    @pytest.mark.parametrize("trans", [False, True])
+    def test_gradients_match_xla(self, trans):
+        from advancedvi_jl_tpu.ops.native_ffi import trisolve
+
+        L, B = self._problem(48, 96, seed=1)
+
+        def f_native(L, B):
+            return jnp.sum(jnp.sin(trisolve(L, B, trans=trans)))
+
+        def f_xla(L, B):
+            return jnp.sum(jnp.sin(jax.scipy.linalg.solve_triangular(
+                L, B, lower=True, trans=1 if trans else 0
+            )))
+
+        gL, gB = jax.grad(f_native, argnums=(0, 1))(L, B)
+        hL, hB = jax.grad(f_xla, argnums=(0, 1))(L, B)
+        scale = float(jnp.abs(hL).max())
+        np.testing.assert_allclose(
+            np.asarray(jnp.tril(gL)), np.asarray(jnp.tril(hL)),
+            atol=3e-5 * scale,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gB), np.asarray(hB),
+            atol=3e-5 * float(jnp.abs(hB).max()),
+        )
+
+    def test_jit_and_upper_triangle_ignored(self):
+        from advancedvi_jl_tpu.ops.native_ffi import trisolve
+
+        L, B = self._problem(16, 32)
+        # garbage in the (inert) upper triangle must not change the result
+        L_dirty = L + jnp.triu(jnp.full((16, 16), 7.0), k=1)
+        f = jax.jit(lambda l, b: trisolve(l, b))
+        np.testing.assert_array_equal(
+            np.asarray(f(L, B)), np.asarray(f(L_dirty, B))
+        )
+
+    def test_float64(self):
+        from advancedvi_jl_tpu.ops.native_ffi import trisolve
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            L, B = self._problem(32, 64, dtype=np.float64, seed=2)
+            X = trisolve(L, B)
+            ref = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+            np.testing.assert_allclose(
+                np.asarray(X), np.asarray(ref), rtol=1e-12, atol=1e-12
+            )
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    def test_error_paths(self):
+        from advancedvi_jl_tpu.ops.native_ffi import trisolve
+
+        L, B = self._problem(8, 4)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            trisolve(L, jnp.zeros((9, 4)))
+        with pytest.raises(ValueError, match="expected L"):
+            trisolve(jnp.zeros((8, 4)), B)
+        with pytest.raises(TypeError, match="f32/f64"):
+            trisolve(L.astype(jnp.bfloat16), B.astype(jnp.bfloat16))
+
+
 def test_prefetching_loader_matches_plain(key):
     """Prefetch thread + device staging preserves the exact batch sequence."""
     import numpy as np
