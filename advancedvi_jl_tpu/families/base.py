@@ -33,6 +33,10 @@ class Normal:
     def log_prob(self, u):
         return -0.5 * (u * u) - 0.5 * math.log(2.0 * math.pi)
 
+    def score(self, u):
+        """Elementwise d log_prob / du (drives the solve-free STL backward)."""
+        return -u
+
     def entropy(self):
         return _HALF_LOG_2PI_E
 
@@ -61,6 +65,10 @@ class StudentT:
         lognorm = -0.5 * math.log(nu) - float(betaln(nu / 2.0, 0.5))
         return lognorm - (nu + 1.0) / 2.0 * jnp.log1p(u * u / nu)
 
+    def score(self, u):
+        nu = self.df
+        return -(nu + 1.0) * u / (nu + u * u)
+
     def entropy(self):
         nu = self.df
         return float(
@@ -88,6 +96,9 @@ class Laplace:
 
     def log_prob(self, u):
         return -jnp.abs(u) - math.log(2.0)
+
+    def score(self, u):
+        return -jnp.sign(u)
 
     def entropy(self):
         return 1.0 + math.log(2.0)

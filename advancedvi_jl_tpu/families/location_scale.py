@@ -86,7 +86,14 @@ class MeanFieldLocationScale:
         d = self.dim
         return d * jnp.asarray(
             self.base.entropy(), dtype=self.location.dtype
-        ) + jnp.sum(jnp.log(jnp.abs(self.scale_diag)))
+        ) + self.log_det_scale()
+
+    def log_det_scale(self) -> jax.Array:
+        return jnp.sum(jnp.log(jnp.abs(self.scale_diag)))
+
+    def apply_inv_scale_T(self, V: jax.Array) -> jax.Array:
+        """scale^{-T} applied to each row of (n, d) V (solve-free entropy)."""
+        return V / self.scale_diag
 
     def mean(self) -> jax.Array:
         return self.location + self.scale_diag * self.base.mean()
@@ -168,7 +175,16 @@ class FullRankLocationScale:
         d = self.dim
         return d * jnp.asarray(
             self.base.entropy(), dtype=self.location.dtype
-        ) + jnp.sum(jnp.log(jnp.abs(jnp.diag(self.scale))))
+        ) + self.log_det_scale()
+
+    def log_det_scale(self) -> jax.Array:
+        return jnp.sum(jnp.log(jnp.abs(jnp.diag(self.scale))))
+
+    def apply_inv_scale_T(self, V: jax.Array) -> jax.Array:
+        """C^{-T} applied to each row of (n, d) V: one transposed triangular
+        solve (the only solve left on the fast STL path)."""
+        C = self.tril_scale()
+        return solve_triangular(C, V.T, lower=True, trans=1).T
 
     def mean(self) -> jax.Array:
         mu_b = self.base.mean()

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 from ..core.problem import maybe_wrap_custom_grad
 from ..core.pytree import pytree_dataclass, static_field, tree_stop_gradient
-from .entropy import CLOSED_FORM, estimate_entropy
+from .entropy import (
+    CLOSED_FORM,
+    estimate_entropy,
+    estimate_entropy_from_draw,
+    supports_fast_entropy,
+)
 
 
 def _constrain_mc(samples: jax.Array, mc_axis: Optional[str]) -> jax.Array:
@@ -58,14 +63,16 @@ class RepGradELBO:
     # -u ~ u); the estimator stays unbiased and the energy-term variance
     # drops substantially when log pi is near-linear over q's support.
     antithetic: bool = static_field(default=False)
+    # Solve-free entropy fast path: for families exposing the base draw
+    # (z = scale·u + location), the MC/STL whitening solve is eliminated via
+    # the identity scale⁻¹(z−m) ≡ u (see entropy.estimate_entropy_from_draw —
+    # identical values and gradients).  Opt-out knob for A/B benchmarking.
+    fast_entropy: bool = static_field(default=True)
 
     def init(self, key, q, prob):
         return ()  # stateless: jit caching replaces AD preparation
 
-    def _draw(self, q, key: jax.Array, n: Optional[int] = None) -> jax.Array:
-        n = self.n_samples if n is None else n
-        if not self.antithetic:
-            return q.sample(key, n)
+    def _check_antithetic(self, q, n: int) -> None:
         if n % 2 != 0:
             raise ValueError(
                 f"antithetic sampling requires an even n_samples, got {n}"
@@ -86,8 +93,34 @@ class RepGradELBO:
                 f"(-u ~ u); {type(base).__name__} does not declare "
                 "symmetric() = True."
             )
+
+    def _draw(self, q, key: jax.Array, n: Optional[int] = None) -> jax.Array:
+        n = self.n_samples if n is None else n
+        if not self.antithetic:
+            return q.sample(key, n)
+        self._check_antithetic(q, n)
         z = q.sample(key, n // 2)
         return jnp.concatenate([z, 2.0 * q.location - z], axis=0)
+
+    def _draw_with_base(self, q, key: jax.Array, n: Optional[int] = None):
+        """(z, u) draw for the fast entropy path; preconditions on the family
+        match _draw (the antithetic mirror z' = 2m − z has base draw −u)."""
+        n = self.n_samples if n is None else n
+        if not self.antithetic:
+            return q.sample_with_base(key, n)
+        self._check_antithetic(q, n)
+        z, u = q.sample_with_base(key, n // 2)
+        return (
+            jnp.concatenate([z, 2.0 * q.location - z], axis=0),
+            jnp.concatenate([u, -u], axis=0),
+        )
+
+    def _use_fast(self, q) -> bool:
+        return (
+            self.fast_entropy
+            and supports_fast_entropy(q)
+            and hasattr(q, "sample_with_base")
+        )
 
     def loss(self, q, prob, key: jax.Array) -> jax.Array:
         """Differentiable forward path: -ELBO estimate.
@@ -97,9 +130,17 @@ class RepGradELBO:
         used by the STL/proximal entropy strategies.
         """
         q_stop = tree_stop_gradient(q)
-        samples = self._draw(q, key)
-        samples = _constrain_mc(samples, self.mc_axis)
-        ent = estimate_entropy(self.entropy, samples, q, q_stop)
+        if self._use_fast(q):
+            samples, u = self._draw_with_base(q, key)
+            samples = _constrain_mc(samples, self.mc_axis)
+            u = _constrain_mc(u, self.mc_axis)
+            ent = estimate_entropy_from_draw(
+                self.entropy, samples, u, q, q_stop
+            )
+        else:
+            samples = self._draw(q, key)
+            samples = _constrain_mc(samples, self.mc_axis)
+            ent = estimate_entropy(self.entropy, samples, q, q_stop)
         log_density = prob.log_density
         if self.remat:
             log_density = jax.checkpoint(log_density)
