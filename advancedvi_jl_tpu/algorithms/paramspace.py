@@ -174,6 +174,7 @@ def KLMinRepGradDescent(
     subsampling=None,
     mc_axis: Optional[str] = None,
     antithetic: bool = False,
+    fast_entropy: bool = True,
 ) -> ParamSpaceSGD:
     """ADVI: SGD on the reparameterization-gradient ELBO
     (reference: constructors.jl:44-79; defaults DoWG + polynomial averaging).
@@ -186,7 +187,7 @@ def KLMinRepGradDescent(
         )
     objective = RepGradELBO(
         n_samples=n_samples, entropy=entropy, mc_axis=mc_axis,
-        antithetic=antithetic,
+        antithetic=antithetic, fast_entropy=fast_entropy,
     )
     if subsampling is not None:
         objective = SubsampledObjective(objective=objective, subsampling=subsampling)

@@ -109,8 +109,10 @@ def test_two_process_matches_single_process(multiproc_results):
         np.asarray(results[0]["scale"]), np.asarray(jnp.tril(out_ref.scale)),
         rtol=1e-5, atol=1e-6,
     )
+    # Both ELBOs are ~0 at convergence, so an rtol-only comparison of the two
+    # near-zero scalars is meaningless — the atol carries the assertion.
     np.testing.assert_allclose(
-        results[0]["elbo"], float(infos_ref[-1]["elbo"]), rtol=1e-5
+        results[0]["elbo"], float(infos_ref[-1]["elbo"]), rtol=1e-5, atol=1e-5
     )
 
 
