@@ -106,6 +106,7 @@ from .algorithms.measure_space import (
     KLMinSqrtNaturalGradDescent,
     KLMinWassFwdBwd,
 )
+from .algorithms.termination import WithTermination, elbo_at_least
 from .core.external import ExternalTarget
 from .core.factorized import FactorizedTarget, factorized_target
 from .estimate import estimate_objective

@@ -86,6 +86,12 @@ def _validate_target(prob, objective) -> None:
 class ParamSpaceSGD:
     """Shared init/step/output for parameter-space SGD algorithms."""
 
+    # The driver's callback mode may request the raw gradient pytree via
+    # step(state, with_grad=True) — callback payload parity with the
+    # reference's (rng, iteration, restructure, params, averaged_params,
+    # gradient, state) contract (common.jl:106-118).
+    supports_grad = True
+
     def __init__(self, objective, optimizer, averager, operator):
         self.objective = objective
         self.optimizer = optimizer
@@ -114,14 +120,21 @@ class ParamSpaceSGD:
             key=state_key,
         )
 
-    def step(self, state: ParamSpaceSGDState):
-        """One SGD step; pure and jit/scan-safe (reference: common.jl:69-120)."""
+    def step(self, state: ParamSpaceSGDState, with_grad: bool = False):
+        """One SGD step; pure and jit/scan-safe (reference: common.jl:69-120).
+
+        ``with_grad=True`` (static) additionally returns the gradient pytree
+        under ``info["gradient"]`` — used by the driver's callback mode only
+        (never by the scan paths, where stacking it would be O(steps * d)).
+        """
         it = state.iteration
         step_key = jax.random.fold_in(state.key, it)
 
         grad, obj_state, info = self.objective.value_and_grad(
             state.q, state.prob, step_key, state.obj_state
         )
+        if with_grad:
+            info = {**info, "gradient": grad}
         updates, opt_state = self.optimizer.update(
             grad, state.opt_state, state.q
         )

@@ -47,17 +47,9 @@ def _cached_jit(algorithm, kind: str, make):
     return per_alg[kind]
 
 
-def _steps_scanned(alg, state, n_steps: int, unroll: int = 1):
-    def body(carry, _):
-        new_state, info = alg.step(carry)
-        return new_state, info
-
-    return jax.lax.scan(body, state, None, length=n_steps, unroll=unroll)
-
-
 def _steps_grouped(
     alg, state, n_groups: int, group: int, start_it,
-    unroll: int = 1, early_exit: bool = True,
+    unroll: int = 1, check_divergence: bool = True,
 ):
     """Nested scan recording one info row per ``group`` steps.
 
@@ -66,26 +58,42 @@ def _steps_grouped(
     progress meter instead of materializing, optimize.jl:64-78; here the
     device loop keeps only each group's last info).
 
-    Early-exit divergence (only when the driver will raise on it, i.e.
-    ``check_divergence=True``): once a step reports ``diverged``, every
-    later step is skipped via ``lax.cond`` (the skip branch just forwards
-    the carry, so the rest of the scan is ~free) and the exact first bad
-    iteration is carried out for the host-side raise.  With
-    ``early_exit=False`` every step runs unconditionally — a user who
-    disabled divergence checking to push through transient non-finite
-    objectives keeps optimizing.
+    Early exit on two channels:
+
+    - **divergence** (only when the driver will raise on it, i.e.
+      ``check_divergence=True``): once a step reports ``diverged``, every
+      later step is skipped via ``lax.cond`` (the skip branch just forwards
+      the carry, so the rest of the scan is ~free) and the exact first bad
+      iteration is returned for the host-side raise.  With
+      ``check_divergence=False`` a NaN objective does not halt — a user who
+      disabled divergence checking to push through transient non-finite
+      objectives keeps optimizing.
+    - **termination**: an algorithm whose ``step`` emits a boolean
+      ``info["terminate"]`` stops the loop at that exact step (the
+      reference's ``(state, terminate, info)`` protocol,
+      src/optimize.jl:67-74); the first terminating iteration is returned.
+
+    Returns ``(state, stacked_infos, first_div, first_term)`` with the
+    iteration indices 0 when the corresponding event never fired.  When
+    neither channel can fire (no divergence checking and the algorithm's
+    info carries no ``terminate`` key) the per-step ``lax.cond`` is elided
+    entirely.
     """
     import jax.numpy as jnp
 
     _, info_shape = jax.eval_shape(alg.step, state)
+    has_div = check_divergence and "diverged" in info_shape
+    has_term = "terminate" in info_shape
+    early_exit = has_div or has_term
     info0 = jax.tree.map(
         lambda s: jnp.zeros(s.shape, s.dtype), info_shape
     )
     t0 = jnp.asarray(start_it, jnp.int64 if jax.config.jax_enable_x64
                      else jnp.int32)
+    false = jnp.asarray(False)
 
     def body(carry, _):
-        st, info_prev, div, first_bad, t = carry
+        st, info_prev, halted, first_div, first_term, t = carry
 
         if early_exit:
             def do(args):
@@ -95,24 +103,28 @@ def _steps_grouped(
             def skip(args):
                 return args
 
-            st_new, info = jax.lax.cond(div, skip, do, (st, info_prev))
+            st_new, info = jax.lax.cond(halted, skip, do, (st, info_prev))
         else:
             st_new, info = alg.step(st)
-        d_step = info.get("diverged", jnp.asarray(False))
-        div_new = div | d_step
-        first_bad = jnp.where(div_new & ~div, t + 1, first_bad)
-        return (st_new, info, div_new, first_bad, t + 1), None
+        div = info.get("diverged", false) if has_div else false
+        term = info.get("terminate", false) if has_term else false
+        fresh = ~halted
+        first_div = jnp.where(fresh & div, t + 1, first_div)
+        # Divergence wins over a simultaneous terminate: the raise must fire.
+        first_term = jnp.where(fresh & term & ~div, t + 1, first_term)
+        return (st_new, info, halted | div | term,
+                first_div, first_term, t + 1), None
 
     def outer(carry, _):
         carry, _ = jax.lax.scan(body, carry, None, length=group,
                                 unroll=unroll)
         return carry, carry[1]  # last info of the group
 
-    init = (state, info0, jnp.asarray(False), jnp.zeros_like(t0), t0)
-    (state, _, div, first_bad, _), infos = jax.lax.scan(
+    init = (state, info0, false, jnp.zeros_like(t0), jnp.zeros_like(t0), t0)
+    (state, _, _, first_div, first_term, _), infos = jax.lax.scan(
         outer, init, None, length=n_groups
     )
-    return state, infos, div, first_bad
+    return state, infos, first_div, first_term
 
 
 def optimize(
@@ -169,6 +181,20 @@ def optimize(
     )
 
 
+def _accepted_kwargs(callback: Callable) -> Optional[set]:
+    """Parameter names a callback accepts, or None if it takes **kwargs."""
+    import inspect
+
+    try:
+        sig = inspect.signature(callback)
+    except (TypeError, ValueError):
+        return None
+    for p in sig.parameters.values():
+        if p.kind is inspect.Parameter.VAR_KEYWORD:
+            return None
+    return set(sig.parameters)
+
+
 def _optimize_loop(
     algorithm,
     max_iter: int,
@@ -185,41 +211,79 @@ def _optimize_loop(
 
     if callback is not None:
         # Host loop: jitted single step + Python callback per iteration.
-        step_fn = _cached_jit(
-            algorithm, "step", lambda: jax.jit(algorithm.step)
+        # Callback payload parity with the reference (common.jl:106-118):
+        # beyond (iteration, state, info), callbacks that declare them also
+        # receive ``gradient`` (the raw gradient pytree of this step — the
+        # algorithm's step must support ``with_grad``, ParamSpaceSGD does)
+        # and ``averaged_params`` (the averaged-iterate family).  ``params``
+        # needs no separate channel: the family pytree IS the parameter
+        # vector (state.q).  A callback may stop the loop by returning
+        # {"terminate": True}; an algorithm by emitting info["terminate"].
+        accepted = _accepted_kwargs(callback)
+
+        def wants(name: str) -> bool:
+            return accepted is None or name in accepted
+
+        with_grad = wants("gradient") and getattr(
+            algorithm, "supports_grad", False
         )
+        if with_grad:
+            step_fn = _cached_jit(
+                algorithm, "step_grad",
+                lambda: jax.jit(lambda s: algorithm.step(s, with_grad=True)),
+            )
+        else:
+            step_fn = _cached_jit(
+                algorithm, "step", lambda: jax.jit(algorithm.step)
+            )
         for t in range(max_iter):
             state, info = step_fn(state)
+            gradient = info.pop("gradient", None)
             info = {k: jax.device_get(v) for k, v in info.items()}
             if check_divergence and bool(info.get("diverged", False)):
                 raise DivergenceError(
                     f"The objective value is {info.get('elbo')} at iteration "
                     f"{t + 1}. This indicates that the optimization diverged."
                 )
-            extra = callback(
+            kw = dict(
                 iteration=int(jax.device_get(state.iteration)),
                 state=state,
                 info=info,
             )
+            if with_grad:
+                kw["gradient"] = gradient
+            if wants("averaged_params"):
+                kw["averaged_params"] = algorithm.output(state)
+            if accepted is not None:
+                kw = {k: v for k, v in kw.items() if k in accepted}
+            extra = callback(**kw)
+            stop = bool(info.get("terminate", False))
             if extra:
+                stop = stop or bool(extra.pop("terminate", False))
                 info.update(extra)
             info["iteration"] = t + 1
-            if (t + 1) % log_every == 0 or t + 1 == max_iter:
+            if (t + 1) % log_every == 0 or t + 1 == max_iter or stop:
                 infos.append(info)
             if show_progress and (t + 1) % max(1, max_iter // 20) == 0:
                 elbo = info.get("elbo")
                 print(f"  iter {t + 1}/{max_iter}  elbo={elbo}")
-    elif log_every > 1:
-        # Thinned scan mode: on-device nested scan, one info row per
-        # log_every steps; with check_divergence, early-exit after
-        # divergence and raise at the exact bad iteration.
-        # Chunks are normalized to a multiple of log_every so recorded
-        # iterations stay on the log_every grid and only the final
+            if stop:
+                break
+    else:
+        # Device-side loop, unified across log_every (VERDICT r2 #6): a
+        # nested scan records one info row per ``log_every`` steps
+        # (log_every=1 is just group=1) and — when divergence checking or
+        # algorithm-driven termination is live — skips every step after the
+        # first halting one via lax.cond, so a NaN at step k costs O(k)
+        # wall-clock in every mode and the host raise names the exact
+        # iteration.  Chunks are normalized to a multiple of log_every so
+        # recorded iterations stay on the log_every grid and only the final
         # max_iter-remainder group (if any) compiles a second program.
         chunk = chunk_size or max_iter
         chunk = max(log_every, (chunk // log_every) * log_every)
         done = 0
-        while done < max_iter:
+        terminated = False
+        while done < max_iter and not terminated:
             n = min(chunk, max_iter - done)
             groups = [(n // log_every, log_every)]
             if n % log_every:
@@ -233,56 +297,37 @@ def _optimize_loop(
                     lambda: jax.jit(
                         lambda s, t0: _steps_grouped(
                             algorithm, s, n_groups, group, t0,
-                            unroll=unroll, early_exit=check_divergence,
+                            unroll=unroll, check_divergence=check_divergence,
                         )
                     ),
                 )
-                state, stacked, div, first_bad = fn(state, done)
+                state, stacked, first_div, first_term = fn(state, done)
                 stacked = jax.device_get(stacked)
-                if check_divergence and bool(jax.device_get(div)):
+                first_div = int(jax.device_get(first_div))
+                first_term = int(jax.device_get(first_term))
+                if check_divergence and first_div:
                     raise DivergenceError(
                         "The objective became non-finite at iteration "
-                        f"{int(jax.device_get(first_bad))}. This indicates "
-                        "that the optimization diverged."
+                        f"{first_div}. This indicates that the optimization "
+                        "diverged."
                     )
-                for g in range(n_groups):
+                last_g = n_groups - 1
+                if first_term:
+                    # Keep rows up to the group containing the terminating
+                    # step; later rows are forwarded copies of it.
+                    last_g = (first_term - done - 1) // group
+                    terminated = True
+                for g in range(last_g + 1):
                     row = {k: v[g] for k, v in stacked.items()}
                     row["iteration"] = done + (g + 1) * group
                     infos.append(row)
+                if first_term:
+                    infos[-1]["iteration"] = first_term
                 done += n_groups * group
+                if terminated:
+                    break
             if show_progress:
                 elbo = infos[-1].get("elbo")
-                print(f"  iter {done}/{max_iter}  elbo={elbo}")
-    else:
-        # Scan mode: device-side loop, one host sync per chunk.
-        chunk = chunk_size or max_iter
-
-        def make_scan(n):
-            return jax.jit(lambda s: _steps_scanned(algorithm, s, n, unroll))
-
-        done = 0
-        while done < max_iter:
-            n = min(chunk, max_iter - done)
-            fn = _cached_jit(
-                algorithm, f"scan_{n}_{unroll}", lambda: make_scan(n)
-            )
-            state, stacked = fn(state)
-            stacked = jax.device_get(stacked)
-            if check_divergence and "diverged" in stacked:
-                div = stacked["diverged"]
-                if div.any():
-                    bad = int(div.argmax()) + done + 1
-                    raise DivergenceError(
-                        f"The objective became non-finite at iteration {bad}. "
-                        "This indicates that the optimization diverged."
-                    )
-            for i in range(n):
-                row = {k: v[i] for k, v in stacked.items()}
-                row["iteration"] = done + i + 1
-                infos.append(row)
-            done += n
-            if show_progress:
-                elbo = infos[-1].get("elbo")
-                print(f"  iter {done}/{max_iter}  elbo={elbo}")
+                print(f"  iter {min(done, max_iter)}/{max_iter}  elbo={elbo}")
 
     return algorithm.output(state), infos, state
