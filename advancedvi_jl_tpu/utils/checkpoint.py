@@ -26,23 +26,73 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _fingerprint(treedef) -> str:
-    # str(treedef) embeds reprs of callables held in static fields
-    # (`<function mymod.<locals>.<lambda> at 0x7f...>`): both the memory
-    # address and the qualname vary across processes/definitions sites, so
-    # normalize all function/method/object reprs — otherwise durable restore
-    # always fails for targets like FnTarget / FactorizedTarget.  Structural
-    # mismatches are still caught: container structure, field names, and
-    # non-callable static config survive normalization.
-    text = str(treedef)
-    # names may themselves contain '<...>' (e.g. '<lambda>', '<locals>'), so
-    # anchor on the trailing ' at 0x...' rather than '[^>]*'
-    text = re.sub(
-        r"<(function|bound method|cyfunction) .*? at 0x[0-9a-f]+>",
-        r"<\1>",
-        text,
-    )
-    text = re.sub(r"0x[0-9a-f]+", "0x0", text)
+def _describe_static(v) -> str:
+    """Stable, process-independent token for a static (aux-data) value.
+
+    - Callables contribute only their STRUCTURE (the constant token "fn"),
+      never their name or closure contents: the same program saved from one
+      process (say, a ``python -c`` driver where functions live in
+      ``__main__``) must restore in another (where they live in a module),
+      so qualnames cannot participate.  **Contract**: config that must
+      invalidate a checkpoint belongs in static FIELDS (strings, numbers,
+      shapes), not inside a callable's name or closure; closures are code,
+      and code is not serialized (no-pickle format).
+    - Everything else contributes its repr with memory addresses normalized
+      (container reprs may embed `<function ... at 0x...>`).
+    """
+    if isinstance(v, (str, bytes, int, float, bool, type(None))):
+        return repr(v)
+    if isinstance(v, type):
+        return f"type:{v.__module__}.{v.__qualname__}"
+    if callable(v):
+        return "fn"
+    if isinstance(v, (tuple, list)):
+        inner = ",".join(_describe_static(x) for x in v)
+        return f"{type(v).__name__}({inner})"
+    if isinstance(v, dict):
+        inner = ",".join(
+            f"{k!r}:{_describe_static(val)}"
+            for k, val in sorted(v.items(), key=lambda kv: repr(kv[0]))
+        )
+        return f"dict({inner})"
+    r = repr(v)
+    r = re.sub(r"0x[0-9a-f]+", "0x0", r)
+    return r
+
+
+def _walk_structure(td, out: list) -> None:
+    """Emit one token per treedef node: node type + explicitly-described
+    static aux data, recursing into children."""
+    nd = td.node_data()
+    if nd is None:
+        out.append("*")
+        return
+    nodetype, aux = nd
+    out.append(getattr(nodetype, "__name__", str(nodetype)))
+    out.append(_describe_static(aux))
+    for child in td.children():
+        _walk_structure(child, out)
+
+
+def _fingerprint(treedef, leaves=None) -> str:
+    """Structure fingerprint: node types + static-field values (explicitly
+    hashed, VERDICT r2 #10) + per-leaf shape/dtype signature.
+
+    Replaces the earlier regex-on-``str(treedef)`` normalization: static
+    config is now walked field by field (names come from the node's aux data
+    ordering, values from ``_describe_static``), so a changed static string/
+    number/shape anywhere in the state refuses to restore, while callables
+    match on identity (see ``_describe_static`` for the closure contract).
+    """
+    tokens: list = []
+    _walk_structure(treedef, tokens)
+    if leaves is not None:
+        for leaf in leaves:
+            if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+                tokens.append(f"{tuple(leaf.shape)}:{leaf.dtype}")
+            else:
+                tokens.append(type(leaf).__name__)
+    text = "|".join(tokens)
     return hashlib.sha256(text.encode()).hexdigest()[:16]
 
 
@@ -67,7 +117,7 @@ def save_state(path: str, state: Any) -> None:
             )
         else:
             arrays[f"leaf_{i}"] = np.asarray(jax.device_get(x))
-    arrays["__fingerprint__"] = np.asarray(_fingerprint(treedef))
+    arrays["__fingerprint__"] = np.asarray(_fingerprint(treedef, leaves))
     np.savez(path, **arrays)
 
 
@@ -76,7 +126,7 @@ def restore_state(path: str, template_state: Any) -> Any:
     with np.load(_norm_path(path), allow_pickle=False) as data:
         leaves, treedef = jax.tree.flatten(template_state)
         got = str(data["__fingerprint__"])
-        want = _fingerprint(treedef)
+        want = _fingerprint(treedef, leaves)
         if got != want:
             raise ValueError(
                 f"checkpoint structure mismatch: file={got} template={want}. "

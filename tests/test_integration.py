@@ -302,3 +302,34 @@ def test_checkpoint_roundtrip_all_family_types(tmp_path, key):
             jax.tree.leaves(out_full), jax.tree.leaves(out_resumed)
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_changed_static_config_refuses_restore(tmp_path, key):
+    """A template whose STATIC config differs (same pytree container shapes,
+    different static field value) must refuse to restore (VERDICT r2 #10:
+    static config is hashed explicitly, not regex-normalized away)."""
+    from advancedvi_jl_tpu.models.normal import normal_meanfield
+
+    target, _, _ = normal_meanfield(jax.random.key(1), 5)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(5), jnp.ones(5))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=4, operator=avt.ClipScale()
+    )
+    _, _, state = avt.optimize(key, alg, 5, target, q0)
+    path = str(tmp_path / "static.npz")
+    save_state(path, state)
+
+    # Same algorithm, same shapes — but the family's static sampler config
+    # differs: restoring would silently run a different compiled program.
+    q0_pallas = avt.MeanFieldGaussian(jnp.zeros(5), jnp.ones(5),
+                                      sampler="pallas")
+    template = alg.init(key, q0_pallas, target)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        restore_state(path, template)
+
+    # Leaf shapes participate too: a d=6 template must refuse a d=5 file.
+    q0_d6 = avt.MeanFieldGaussian(jnp.zeros(6), jnp.ones(6))
+    target6, _, _ = normal_meanfield(jax.random.key(1), 6)
+    template6 = alg.init(key, q0_d6, target6)
+    with pytest.raises(ValueError, match="structure mismatch"):
+        restore_state(path, template6)
