@@ -51,22 +51,43 @@ def gaussian_expected_grad_hess(
     n_samples: int,
     prob: Any,
     mc_axis: str | None = None,
+    hessian: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(E[log pi], E[grad log pi], E[hess log pi]) under q = N(m, C C^T).
 
-    Chooses the Stein-identity path for gradient-only (order-1) targets and
-    the exact batched-Hessian path otherwise, mirroring the reference's
-    capability dispatch (gauss_expected_grad_hess.jl:32-78).
+    ``hessian`` selects the estimator (VERDICT r2 #7):
+
+    - ``"auto"``: Stein path for gradient-only (order-1) targets, exact
+      batched Hessians otherwise — the reference's pure capability dispatch
+      (gauss_expected_grad_hess.jl:32-78).
+    - ``"stein"``: force the Stein/Price-identity estimator even for
+      JAX-differentiable targets.  Cost per step is n gradient evaluations
+      + one (d, n)x(n, d) matmul + one triangular solve vs. n full O(d^2)
+      Hessians — far cheaper at large d, at the price of MC noise in E[H]
+      (it is exact in expectation; see BENCH_NOTES "Stein vs exact").
+    - ``"exact"``: force batched exact Hessians; errors if the target
+      cannot provide them (order < 2 and not JAX-differentiable).
 
     ``mc_axis``: optional mesh axis to shard the sample dimension over —
     per-sample grad/Hessian evaluations run on the owning device and the
     means (and the u^T @ grads moment matmul) reduce with psum over the mesh.
     """
+    if hessian not in ("auto", "stein", "exact"):
+        raise ValueError(
+            f"hessian must be 'auto', 'stein', or 'exact', got {hessian!r}"
+        )
     m = q.location
     C = q.tril_scale()
     d = m.shape[0]
 
-    if order_of(prob) == ORDER_GRAD:
+    order = order_of(prob)
+    if hessian == "exact" and order == ORDER_GRAD:
+        raise ValueError(
+            "hessian='exact' requires an order-2 or JAX-differentiable "
+            "target; this target only provides gradients (order 1). Use "
+            "hessian='stein' or 'auto'."
+        )
+    if order == ORDER_GRAD or hessian == "stein":
         # Stein/Price identity:
         #   E[hess] = C'^-T E[u grad(C u + m)^T]
         u = shard_axis0(

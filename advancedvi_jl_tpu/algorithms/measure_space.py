@@ -71,14 +71,22 @@ class MeasureSpaceAlgorithm:
     ``mc_axis``: optional mesh axis name; the per-step Monte-Carlo draws
     (and their per-sample grad/Hessian evaluations) shard over it exactly
     like RepGradELBO's sample axis (parallel/mesh.py).
+
+    ``hessian``: "auto" (capability dispatch, the reference's behavior),
+    "stein" (force the Stein-identity estimator — one matmul + trisolve
+    instead of n exact O(d^2) Hessians; the large-d choice), or "exact"
+    (see gauss_expected.gaussian_expected_grad_hess).
     """
 
     name = "MeasureSpaceAlgorithm"
 
-    def __init__(self, n_samples=1, subsampling=None, mc_axis=None):
+    def __init__(
+        self, n_samples=1, subsampling=None, mc_axis=None, hessian="auto"
+    ):
         self.n_samples = n_samples
         self.subsampling = subsampling
         self.mc_axis = mc_axis
+        self.hessian = hessian
 
     # per-algorithm hooks -------------------------------------------------
     def _init_aux(self, q: FullRankLocationScale):
@@ -124,7 +132,8 @@ class MeasureSpaceAlgorithm:
         info = dict(info)
 
         logpi_avg, grad, hess = gaussian_expected_grad_hess(
-            step_key, state.q, self.n_samples, prob_sub, mc_axis=self.mc_axis
+            step_key, state.q, self.n_samples, prob_sub,
+            mc_axis=self.mc_axis, hessian=self.hessian,
         )
         q_new, aux_new, extra_info = self._update(
             state.q, state.aux, grad, hess, it
@@ -189,9 +198,11 @@ class KLMinNaturalGradDescent(MeasureSpaceAlgorithm):
         ensure_posdef: bool = True,
         subsampling=None,
         mc_axis=None,
+        hessian: str = "auto",
     ):
         super().__init__(
-            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis
+            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis,
+            hessian=hessian,
         )
         self.stepsize = stepsize
         self.ensure_posdef = ensure_posdef
@@ -244,9 +255,11 @@ class KLMinSqrtNaturalGradDescent(MeasureSpaceAlgorithm):
         n_samples: int = 1,
         subsampling=None,
         mc_axis=None,
+        hessian: str = "auto",
     ):
         super().__init__(
-            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis
+            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis,
+            hessian=hessian,
         )
         self.stepsize = stepsize
 
@@ -288,9 +301,11 @@ class KLMinWassFwdBwd(MeasureSpaceAlgorithm):
         sqrtm: str = "eigh",
         sqrtm_iters: int = 20,
         mc_axis=None,
+        hessian: str = "auto",
     ):
         super().__init__(
-            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis
+            n_samples=n_samples, subsampling=subsampling, mc_axis=mc_axis,
+            hessian=hessian,
         )
         self.stepsize = stepsize
         if sqrtm not in ("eigh", "newton_schulz"):
