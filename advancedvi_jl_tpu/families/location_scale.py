@@ -28,6 +28,21 @@ from ..core.pytree import pytree_dataclass, static_field
 from .base import Normal
 
 
+def _solve_lower(C: jax.Array, B: jax.Array, trans: bool) -> jax.Array:
+    """Solve tril(C) X = B (or C^T X = B), B of shape (d, n).
+
+    Routes through the native C++ XLA-FFI kernel (ops/cpp/ffi_trisolve.cc,
+    measured 3.7x over XLA's solve at the VI d-range) when the backend is
+    CPU, dtypes are f32/f64, and no mesh is active; XLA's partitionable
+    ``triangular_solve`` otherwise (TPU, sharded, or exotic dtypes).
+    """
+    from ..ops.native_ffi import trisolve, use_native_trisolve
+
+    if use_native_trisolve(C, B):
+        return trisolve(C, B, trans=trans)
+    return solve_triangular(C, B, lower=True, trans=1 if trans else 0)
+
+
 def _check_pallas_ok(q) -> None:
     if not isinstance(q.base, Normal):
         raise ValueError(
@@ -164,9 +179,9 @@ class FullRankLocationScale:
         # (reference: location_scale.jl:59-63), batched over samples.
         diff = z - self.location
         if diff.ndim == 1:
-            u = solve_triangular(C, diff, lower=True)
+            u = _solve_lower(C, diff[:, None], trans=False)[:, 0]
         else:
-            u = solve_triangular(C, diff.T, lower=True).T
+            u = _solve_lower(C, diff.T, trans=False).T
         return jnp.sum(self.base.log_prob(u), axis=-1) - jnp.sum(
             jnp.log(jnp.abs(jnp.diag(C)))
         )
@@ -184,7 +199,7 @@ class FullRankLocationScale:
         """C^{-T} applied to each row of (n, d) V: one transposed triangular
         solve (the only solve left on the fast STL path)."""
         C = self.tril_scale()
-        return solve_triangular(C, V.T, lower=True, trans=1).T
+        return _solve_lower(C, V.T, trans=True).T
 
     def mean(self) -> jax.Array:
         mu_b = self.base.mean()

@@ -65,6 +65,15 @@ def _ensure_registered() -> bool:
                 name, jax.ffi.pycapsule(sym), platform="cpu"
             )
         _REGISTERED = True
+    except subprocess.CalledProcessError as e:
+        import warnings
+
+        stderr = (e.stderr or b"").decode(errors="replace")
+        warnings.warn(
+            f"native FFI kernel compilation failed (g++ exit {e.returncode});"
+            f" falling back to XLA solves. Compiler stderr:\n{stderr}"
+        )
+        _FAILED = True
     except Exception:
         _FAILED = True
     return _REGISTERED
@@ -74,6 +83,25 @@ def ffi_available() -> bool:
     """True when the native kernel compiled+registered AND the default
     backend is CPU (the platform the targets are registered for)."""
     return jax.default_backend() == "cpu" and _ensure_registered()
+
+
+def use_native_trisolve(L: jax.Array, B: jax.Array) -> bool:
+    """Should a library solve path route through the native kernel?
+
+    True only when every condition a caller shouldn't have to re-derive
+    holds: CPU backend with a registered kernel, f32/f64 operands, 2-D
+    un-batched system, and NO active mesh — under GSPMD a custom call is an
+    opaque (non-partitionable) op, so sharded solves stay on XLA's
+    ``triangular_solve`` which partitions over the sample axis.
+    """
+    if L.dtype not in (jnp.float32, jnp.float64) or L.dtype != B.dtype:
+        return False
+    if L.ndim != 2 or B.ndim != 2:
+        return False
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is not None and not mesh.empty:
+        return False
+    return ffi_available()
 
 
 def _target_name(dtype) -> str:
@@ -86,7 +114,9 @@ def _target_name(dtype) -> str:
 
 def _raw_trisolve(L: jax.Array, B: jax.Array, trans: int) -> jax.Array:
     call = jax.ffi.ffi_call(
-        _target_name(L.dtype), jax.ShapeDtypeStruct(B.shape, B.dtype)
+        _target_name(L.dtype),
+        jax.ShapeDtypeStruct(B.shape, B.dtype),
+        vmap_method="sequential",
     )
     return call(L, B, trans=np.int32(trans))
 
@@ -125,16 +155,20 @@ def trisolve(L: jax.Array, B: jax.Array, *, trans: bool = False) -> jax.Array:
          (n, d) sample batches before calling).
       trans: solve with ``L^T`` instead (back substitution).
 
-    Differentiable in L and B; CPU backend only (``ffi_available()``).
+    Differentiable in L and B; jit-safe and vmap-able (sequential per-batch
+    dispatch); CPU backend only (``ffi_available()``) — the targets are
+    registered for platform="cpu", so a TPU/GPU default backend gets a clear
+    error here instead of an opaque lowering failure.
     """
     if L.ndim != 2 or B.ndim != 2 or L.shape[0] != L.shape[1]:
         raise ValueError(f"expected L (d,d), B (d,n); got {L.shape}, {B.shape}")
     if L.shape[1] != B.shape[0]:
         raise ValueError(f"shape mismatch: L {L.shape} vs B {B.shape}")
-    if not _ensure_registered():
+    if not ffi_available():
         raise RuntimeError(
-            "native FFI kernel unavailable (compilation failed?); use "
-            "jax.scipy.linalg.solve_triangular instead"
+            "native FFI trisolve unavailable: it requires the CPU backend "
+            f"(current: {jax.default_backend()!r}) and a successful kernel "
+            "compilation. Use jax.scipy.linalg.solve_triangular instead."
         )
     B = B.astype(L.dtype)
     return _trisolve(L, B, 1 if trans else 0)

@@ -257,18 +257,38 @@ class TestFfiTrisolve:
         )
 
     def test_float64(self):
-        from advancedvi_jl_tpu.ops.native_ffi import trisolve
+        """f64 kernel path, in a subprocess — a global jax_enable_x64 flip
+        would invalidate jit caches for every other test in the process
+        (ADVICE r2)."""
+        import subprocess
+        import sys
 
-        jax.config.update("jax_enable_x64", True)
-        try:
-            L, B = self._problem(32, 64, dtype=np.float64, seed=2)
-            X = trisolve(L, B)
-            ref = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-            np.testing.assert_allclose(
-                np.asarray(X), np.asarray(ref), rtol=1e-12, atol=1e-12
-            )
-        finally:
-            jax.config.update("jax_enable_x64", False)
+        script = """
+import os
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np
+import jax.numpy as jnp
+from advancedvi_jl_tpu.ops.native_ffi import trisolve
+
+rng = np.random.default_rng(2)
+L = np.tril(rng.normal(size=(32, 32))) + 3 * np.eye(32)
+B = rng.normal(size=(32, 64))
+X = trisolve(jnp.asarray(L), jnp.asarray(B))
+ref = jax.scipy.linalg.solve_triangular(jnp.asarray(L), jnp.asarray(B),
+                                        lower=True)
+np.testing.assert_allclose(np.asarray(X), np.asarray(ref),
+                           rtol=1e-12, atol=1e-12)
+print("f64 trisolve OK")
+"""
+        r = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "f64 trisolve OK" in r.stdout
 
     def test_error_paths(self):
         from advancedvi_jl_tpu.ops.native_ffi import trisolve
@@ -352,3 +372,65 @@ def test_optimize_streamed_end_to_end(key):
     assert abs(float(q.location[0]) - post_mean) < 0.05
     np.testing.assert_allclose(float(q.scale_diag[0]), post_sd, rtol=0.25)
     assert infos[-1]["iteration"] == 2000
+
+
+def test_library_solves_route_through_ffi(key):
+    """On the CPU backend (no mesh) the full-rank log_prob and
+    apply_inv_scale_T lower to the native FFI custom call; under a mesh they
+    stay on XLA's partitionable triangular_solve (ADVICE r2: the kernel must
+    be reachable from the library, not only from tests)."""
+    import advancedvi_jl_tpu as avt
+    from advancedvi_jl_tpu.ops.native_ffi import ffi_available
+
+    assert ffi_available()
+    d, n = 16, 8
+    q = avt.FullRankGaussian(jnp.zeros(d), jnp.eye(d) * 0.5)
+    z = q.sample(key, n)
+
+    hlo = jax.jit(q.log_prob).lower(z).as_text()
+    assert "advi_trisolve_f32" in hlo
+    hlo2 = jax.jit(q.apply_inv_scale_T).lower(z).as_text()
+    assert "advi_trisolve_f32" in hlo2
+
+    # Same value and gradient as the XLA path.
+    ref = jax.scipy.linalg.solve_triangular(
+        jnp.tril(q.scale), (z - q.location).T, lower=True
+    ).T
+    lp_ref = jnp.sum(
+        -0.5 * ref**2 - 0.5 * np.log(2 * np.pi), axis=-1
+    ) - jnp.sum(jnp.log(jnp.diag(q.scale)))
+    np.testing.assert_allclose(
+        np.asarray(q.log_prob(z)), np.asarray(lp_ref), rtol=1e-5
+    )
+
+    def mean_lp(qq):
+        return jnp.mean(qq.log_prob(z))
+
+    g = jax.grad(mean_lp)(q)
+
+    def mean_lp_xla(qq):
+        u = jax.scipy.linalg.solve_triangular(
+            jnp.tril(qq.scale), (z - qq.location).T, lower=True
+        ).T
+        return jnp.mean(
+            jnp.sum(-0.5 * u**2 - 0.5 * np.log(2 * np.pi), axis=-1)
+            - jnp.sum(jnp.log(jnp.abs(jnp.diag(qq.scale))))
+        )
+
+    g_ref = jax.grad(mean_lp_xla)(q)
+    np.testing.assert_allclose(
+        np.asarray(g.location), np.asarray(g_ref.location), rtol=1e-4,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.tril(g.scale)), np.asarray(jnp.tril(g_ref.scale)),
+        rtol=1e-4, atol=1e-6,
+    )
+
+    # Under a mesh: XLA path (custom calls are not partitionable).
+    from advancedvi_jl_tpu.parallel.mesh import make_vi_mesh
+
+    mesh = make_vi_mesh()
+    with jax.set_mesh(mesh):
+        hlo_mesh = jax.jit(q.log_prob).lower(z).as_text()
+    assert "advi_trisolve_f32" not in hlo_mesh
