@@ -66,7 +66,11 @@ from .families.flows import (
     radial_flow,
 )
 from .families.blockdiag import BlockDiagGaussian, BlockDiagLocationScale
-from .families.local import PerDatapointMeanField, per_datapoint_meanfield
+from .families.local import (
+    GlobalLocalFamily,
+    PerDatapointMeanField,
+    per_datapoint_meanfield,
+)
 from .families.low_rank import LowRankGaussian, LowRankLocationScale
 from .objectives.entropy import (
     CLOSED_FORM,

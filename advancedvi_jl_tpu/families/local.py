@@ -106,3 +106,69 @@ def per_datapoint_meanfield(
         location=jnp.zeros((n_data, k), dtype),
         scale_diag=scale * jnp.ones((n_data, k), dtype),
     )
+
+
+@pytree_dataclass
+class GlobalLocalFamily:
+    """Product family q(theta_g) x prod_i q(z_i): hierarchical-model VI.
+
+    The standard doubly-stochastic decomposition for models with both global
+    parameters and per-datapoint local latents (random-effects regressions,
+    deep latent-variable models): any family over the ``dg`` global dims
+    composed with a :class:`PerDatapointMeanField` over the N local rows.
+    ``ppl.ingest(model, data=...)`` assembles this automatically for models
+    whose plates contain latent sites (the reference handles the analogous
+    case through the family-subsampling hook,
+    reference: src/algorithms/subsampledobjective.jl:81 +
+    ext/AdvancedVIDynamicPPLExt.jl:188-209).
+
+    Flat sample layout (matches ``ppl.Model``'s local-latent layout):
+    ``[global dims (dg)] ++ [local block, row-major (rows * k)]``.
+
+    ``subsample(idx)`` gathers the minibatch's local rows — the global block
+    never subsamples — and the local density/entropy bookkeeping carries the
+    N/B ``weight`` (see PerDatapointMeanField's module docstring for the
+    unbiasedness argument; the global entropy enters every batch estimate
+    unscaled because it is a single global ELBO term, not a per-datapoint
+    sum).
+    """
+
+    global_q: Any
+    local_q: PerDatapointMeanField
+
+    @property
+    def dim(self) -> int:
+        return self.global_q.dim + self.local_q.dim
+
+    @property
+    def weight(self) -> float:
+        # != 1 only under subsampling; objectives that are nonlinear in
+        # log q (VarGrad, IWELBO) use this to reject weighted densities.
+        return self.local_q.weight
+
+    def subsample(self, indices: jax.Array) -> "GlobalLocalFamily":
+        return GlobalLocalFamily(
+            global_q=self.global_q,
+            local_q=self.local_q.subsample(indices),
+        )
+
+    def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
+        kg, kl = jax.random.split(key)
+        zg = self.global_q.sample(kg, n_samples)
+        zl = self.local_q.sample(kl, n_samples)
+        return jnp.concatenate([zg, zl], axis=-1)
+
+    def log_prob(self, z: jax.Array) -> jax.Array:
+        dg = self.global_q.dim
+        return self.global_q.log_prob(z[..., :dg]) + self.local_q.log_prob(
+            z[..., dg:]
+        )
+
+    def entropy(self) -> jax.Array:
+        return self.global_q.entropy() + self.local_q.entropy()
+
+    def mean(self) -> jax.Array:
+        return jnp.concatenate([self.global_q.mean(), self.local_q.mean()])
+
+    def var(self) -> jax.Array:
+        return jnp.concatenate([self.global_q.var(), self.local_q.var()])

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..core.pytree import pytree_dataclass, static_field
 from ..families.blockdiag import BlockDiagLocationScale
-from ..families.local import PerDatapointMeanField
+from ..families.local import GlobalLocalFamily, PerDatapointMeanField
 from ..families.location_scale import (
     FullRankLocationScale,
     MeanFieldLocationScale,
@@ -44,6 +44,11 @@ class ClipScale:
 
     def apply(self, q, opt_state):
         eps = self.epsilon
+        if isinstance(q, GlobalLocalFamily):
+            return q.replace(
+                global_q=self.apply(q.global_q, opt_state),
+                local_q=self.apply(q.local_q, opt_state),
+            )
         if isinstance(q, (MeanFieldLocationScale, PerDatapointMeanField)):
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
         if isinstance(q, FullRankLocationScale):

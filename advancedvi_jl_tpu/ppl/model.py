@@ -35,9 +35,16 @@ sites — names, shapes, supports — then assembles:
 Plate semantics: observed sites INSIDE a ``plate`` form the subsampled
 likelihood; observed sites OUTSIDE any plate are global evidence terms and
 are never rescaled (they join the prior accumulator).  Latent sites inside a
-plate (per-datapoint local latents) are supported full-batch; with
-``data=``-subsampling they are rejected at ingest time — use the amortized
-family path (families/local.py) for doubly-stochastic local-latent VI.
+plate are PER-DATAPOINT local latents (scalar dist params broadcast to one
+draw per plate row, numpyro-style): full-batch they join the flat vector
+like any site; with ``data=`` subsampling, ingest assembles the
+doubly-stochastic composition automatically — ``q_init()`` returns a
+:class:`~advancedvi_jl_tpu.families.local.GlobalLocalFamily` whose local
+block subsamples in lockstep with the data rows, per-datapoint priors and
+log-det-Jacobians ride the rescalable likelihood accumulator, and the
+amortized scatter-add gradient machinery (families/local.py) does the rest
+(reference: ext/AdvancedVIDynamicPPLExt.jl:188-209 +
+src/algorithms/subsampledobjective.jl:81).
 """
 
 from __future__ import annotations
@@ -135,9 +142,30 @@ class _Tracer:
             )
         val = dist.sample(jax.random.fold_in(self.key, self.counter))
         self.counter += 1
+        plate_size = None
+        if in_plate:
+            # Plate = conditional independence over the data axis: a latent
+            # site inside a plate is PER-DATAPOINT.  Scalar (or per-event)
+            # distribution parameters broadcast to one draw per plate row —
+            # the numpyro-style contract that keeps the model function valid
+            # at ANY batch size (the replay substitutes a (batch, ...)-shaped
+            # value and the same scalar params broadcast against it).  A
+            # site whose leading dim already equals the plate size is kept
+            # as-is (explicitly sized, full-batch-only style).
+            if len(_PLATE_STACK) > 1:
+                raise ValueError(
+                    f"latent site {name!r} sits inside nested plates; "
+                    "local-latent VI supports one plate level."
+                )
+            plate_size = _PLATE_STACK[-1].size
+            if not (jnp.ndim(val) >= 1 and jnp.shape(val)[0] == plate_size):
+                val = jnp.broadcast_to(
+                    val, (plate_size,) + jnp.shape(val)
+                )
         self.sites[name] = {
             "observed": False,
             "in_plate": in_plate,
+            "plate_size": plate_size,
             "shape": jnp.shape(val),
             "support": support,
             "dist_type": type(dist).__name__,
@@ -166,7 +194,15 @@ class _Replayer:
                 self.logprior = self.logprior + term
             return obs
         val = self.values[name]
-        self.logprior = self.logprior + jnp.sum(dist.log_prob(val))
+        term = jnp.sum(dist.log_prob(val))
+        if in_plate:
+            # Per-datapoint latent priors are part of the rescalable
+            # per-datapoint sum: under minibatching sum_i log p(z_i | ...)
+            # must scale by N/B exactly like the likelihood (full-batch:
+            # likeadj = 1, so the total is unchanged).
+            self.loglike = self.loglike + term
+        else:
+            self.logprior = self.logprior + term
         return val
 
 
@@ -239,6 +275,11 @@ class PPLTarget:
     dim: int = static_field()
     n_data: int = static_field()
     data_axis: Optional[str] = static_field(default=None)
+    # Per-datapoint latent dims: > 0 in local-latent mode, where theta's
+    # trailing rows*local_k block holds the minibatch's local latents and
+    # the target's dim SHRINKS with the batch (the family subsamples in
+    # lockstep via GlobalLocalFamily.subsample).
+    local_k: int = static_field(default=0)
 
     def order(self) -> int:
         return ORDER_JAX
@@ -262,9 +303,10 @@ class PPLTarget:
             ),
             likeadj=self.likeadj * (self.n_data / batch),
             replay_fn=self.replay_fn,
-            dim=self.dim,
+            dim=self.dim - (self.n_data - batch) * self.local_k,
             n_data=self.n_data,
             data_axis=self.data_axis,
+            local_k=self.local_k,
         )
 
 
@@ -282,6 +324,17 @@ class Model:
         self._kwargs = model_kwargs
         self._data_axis = data_axis
 
+        self.local_names = [
+            n for n, m in latents.items()
+            if m["in_plate"] and data is not _NO_DATA
+        ]
+        self.global_names = [
+            n for n in latents if n not in self.local_names
+        ]
+        if self.local_names:
+            self._init_local_mode(latents)
+            return
+
         names = list(latents)
         self._slices = {}
         off = 0
@@ -298,6 +351,112 @@ class Model:
         )
         self.dim = sum(_unconstrained_size(latents[n]) for n in names)
         self.target = self._build_target()
+
+    # -- local-latent (doubly-stochastic) mode -------------------------------
+    def _init_local_mode(self, latents) -> None:
+        """Plate-local latent sites + data subsampling (VERDICT r2 #8).
+
+        The VI vector is ``[global unconstrained | (rows, k) local block,
+        row-major]``; ``q_init`` returns the matching
+        :class:`~advancedvi_jl_tpu.families.local.GlobalLocalFamily`, whose
+        ``subsample`` gathers the minibatch's local rows in lockstep with the
+        target's data rows (the reference routes this through the
+        family-subsampling hook, subsampledobjective.jl:81 +
+        AdvancedVIDynamicPPLExt.jl:188-209).  Constrained supports are
+        handled INSIDE the replay — per-datapoint log-det-Jacobians belong
+        to the rescalable per-datapoint sum, so they accumulate on the
+        likelihood side — which keeps the layout valid at every batch size
+        (a Stacked bijection over the flat vector would bake in N).
+        """
+        n_data = jax.tree.leaves(self._data)[0].shape[0]
+        for n in self.local_names:
+            m = latents[n]
+            if m["support"] == "simplex":
+                raise ValueError(
+                    f"local latent site {n!r} has simplex support; only "
+                    "elementwise supports (real/positive/interval) are "
+                    "supported inside a subsampled plate."
+                )
+            if m["plate_size"] != n_data:
+                raise ValueError(
+                    f"plate size {m['plate_size']} of local site {n!r} != "
+                    f"data leading dimension {n_data}."
+                )
+
+        # global block: ordinary stacked layout
+        self._slices = {}
+        off = 0
+        for n in self.global_names:
+            sz = _constrained_size(latents[n])
+            self._slices[n] = (off, sz, latents[n]["shape"])
+            off += sz
+        self._dg_con = off
+        self.transform = stacked(
+            *[
+                (_site_transform(latents[n]), _unconstrained_size(latents[n]))
+                for n in self.global_names
+            ]
+        ) if self.global_names else None
+        self._dg_unc = sum(
+            _unconstrained_size(latents[n]) for n in self.global_names
+        )
+
+        # local block: per-row slices (event shape = site shape minus the
+        # plate dim)
+        self._local_slices = {}
+        row_off = 0
+        for n in self.local_names:
+            event_shape = latents[n]["shape"][1:]
+            k = int(math.prod(event_shape)) if event_shape else 1
+            self._local_slices[n] = (
+                row_off, k, event_shape, _site_transform(latents[n])
+            )
+            row_off += k
+        self.local_k = row_off
+        self.n_data = n_data
+
+        self.dim = self._dg_unc + n_data * self.local_k
+        self.dim_constrained = self._dg_con + n_data * self.local_k
+
+        def replay_fn(theta, batch_data):
+            rows = jax.tree.leaves(batch_data)[0].shape[0]
+            values, g_ldj, l_ldj = self._decode(theta, rows)
+            rep = _Replayer(values)
+            with _HandlerCtx(rep):
+                self._fn(batch_data, *self._args, **self._kwargs)
+            return rep.logprior + g_ldj, rep.loglike + l_ldj
+
+        self.target = PPLTarget(
+            data=self._data,
+            likeadj=jnp.ones(()),
+            replay_fn=replay_fn,
+            dim=self.dim,
+            n_data=n_data,
+            data_axis=self._data_axis,
+            local_k=self.local_k,
+        )
+
+    def _decode(self, theta, rows: int):
+        """Unconstrained flat [global | (rows, k) local] -> ({site: constrained
+        value}, global ldj, per-datapoint ldj)."""
+        values = {}
+        zero = jnp.zeros((), dtype=theta.dtype)
+        g_ldj = zero
+        if self.global_names:
+            g_con, g_ldj = self.transform.forward_and_ldj(
+                theta[: self._dg_unc]
+            )
+            for n, (off, sz, shape) in self._slices.items():
+                v = jax.lax.dynamic_slice_in_dim(g_con, off, sz)
+                values[n] = v.reshape(shape) if shape else v[0]
+        local = theta[self._dg_unc :].reshape(rows, self.local_k)
+        l_ldj = zero
+        for n, (off, k, event_shape, tf) in self._local_slices.items():
+            blk = local[:, off : off + k]
+            con, ldj = tf.forward_and_ldj(blk)
+            values[n] = con.reshape((rows,) + event_shape)
+            l_ldj = l_ldj + ldj
+        return values, g_ldj, l_ldj
 
     # -- target assembly ---------------------------------------------------
     def _replay(self, theta_constrained, data):
@@ -319,17 +478,6 @@ class Model:
 
             base = fn_target(logjoint, dim=self.dim_constrained)
         else:
-            local = [
-                n for n, m in self.latents.items() if m["in_plate"]
-            ]
-            if local:
-                raise ValueError(
-                    f"latent sites inside a plate ({local}) cannot be "
-                    "combined with data= subsampling through ingest(); fit "
-                    "full-batch (data=None, close over the data) or use the "
-                    "amortized local-latent family "
-                    "(advancedvi_jl_tpu.families.local)."
-                )
             n_data = jax.tree.leaves(self._data)[0].shape[0]
 
             def replay_fn(theta, batch):
@@ -357,25 +505,55 @@ class Model:
 
     def constrain(self, x_unconstrained: jax.Array) -> Dict[str, jax.Array]:
         """Unconstrained vector (the VI space) -> {site: constrained value}."""
+        if self.local_names:
+            rows = (x_unconstrained.shape[0] - self._dg_unc) // self.local_k
+            values, _, _ = self._decode(x_unconstrained, rows)
+            return values
         return self.unpack(self.transform.forward(x_unconstrained))
 
     def q_init(self, scale: float = 0.1):
-        """Mean-field Gaussian in the unconstrained space (the standard
-        ADVI initialization)."""
+        """Initial family in the unconstrained space: a mean-field Gaussian
+        (the standard ADVI initialization), or — in local-latent mode — a
+        :class:`GlobalLocalFamily` whose local block subsamples with the
+        data."""
         from ..families.location_scale import MeanFieldGaussian
 
+        if self.local_names:
+            from ..families.local import (
+                GlobalLocalFamily,
+                per_datapoint_meanfield,
+            )
+
+            return GlobalLocalFamily(
+                global_q=MeanFieldGaussian(
+                    jnp.zeros(self._dg_unc),
+                    scale * jnp.ones(self._dg_unc),
+                ),
+                local_q=per_datapoint_meanfield(
+                    self.n_data, self.local_k, scale
+                ),
+            )
         return MeanFieldGaussian(
             jnp.zeros(self.dim), scale * jnp.ones(self.dim)
         )
 
     def posterior(self, q) -> TransformedDistribution:
         """Push the fitted unconstrained family to the constrained space."""
+        if self.local_names:
+            raise ValueError(
+                "local-latent models have no single flat bijection "
+                "(per-site transforms are applied per plate row); use "
+                "sample_posterior() or constrain()."
+            )
         return TransformedDistribution(base=q, transform=self.transform)
 
     def sample_posterior(
         self, key: jax.Array, q, n_samples: int
     ) -> Dict[str, jax.Array]:
         """Constrained posterior draws per site, stacked on axis 0."""
+        if self.local_names:
+            z = q.sample(key, n_samples)
+            return jax.vmap(self.constrain)(z)
         z = self.posterior(q).sample(key, n_samples)
         return jax.vmap(self.unpack)(z)
 

@@ -191,13 +191,22 @@ def test_ingest_error_paths(key):
     with pytest.raises(ValueError, match="no latent"):
         ppl.ingest(lambda: ppl.sample("y", ppl.Normal(0.0, 1.0), obs=jnp.ones(())))
 
-    def local_latent(data):
+    def simplex_local(data):
         with ppl.plate("obs", 4):
-            z = ppl.sample("z", ppl.Normal(jnp.zeros(4), 1.0))
+            p = ppl.sample("p", ppl.Dirichlet(jnp.ones(3)))
+            ppl.sample("y", ppl.Normal(p[..., 0], 1.0), obs=data["y"])
+
+    with pytest.raises(ValueError, match="simplex"):
+        ppl.ingest(simplex_local, data={"y": jnp.zeros(4)})
+
+    def nested(data):
+        with ppl.plate("outer", 4):
+            with ppl.plate("inner", 4):
+                z = ppl.sample("z", ppl.Normal(0.0, 1.0))
             ppl.sample("y", ppl.Normal(z, 1.0), obs=data["y"])
 
-    with pytest.raises(ValueError, match="inside a plate"):
-        ppl.ingest(local_latent, data={"y": jnp.zeros(4)})
+    with pytest.raises(ValueError, match="nested"):
+        ppl.ingest(nested, data={"y": jnp.zeros(4)})
 
     with pytest.raises(RuntimeError, match="outside"):
         ppl.sample("x", ppl.Normal(0.0, 1.0))
