@@ -142,6 +142,15 @@ class FullRankLocationScale:
     # draw replicated and partitions z column-wise — no collective needed on
     # the forward sampling path (each output column owns its row of C).
     tp_axis: Any = static_field(default=None)
+    # Optional MXU-native precision for the (n, d) x (d, d) sampling matmul
+    # ("bfloat16"): operands cast down, f32 accumulation via
+    # preferred_element_type — the standard TPU mixed-precision contract.
+    # Parameters, solves, and densities stay in the parameter dtype; only
+    # the draw's affine map quantizes (~3 decimal digits), which perturbs
+    # each z by O(1e-3)·||C|| without biasing the estimator's expectation
+    # over u.  Measured: ELBO trajectory unchanged at d=1024 (BENCH_NOTES
+    # "MFU" section); ~2x on the FLOP-bound full-rank configs.
+    compute_dtype: Any = static_field(default=None)
 
     @property
     def dim(self) -> int:
@@ -169,8 +178,20 @@ class FullRankLocationScale:
                 key_to_seed(key), self.location, self.tril_scale(), n_samples
             )
         u = self.base.sample(key, (n_samples, self.dim), self.location.dtype)
+        C = self.tril_scale()
         # (n, d) @ (d, d)^T : one MXU matmul for the whole batch.
-        z = u @ self.tril_scale().T + self.location
+        if self.compute_dtype is not None:
+            cd = jnp.dtype(self.compute_dtype)
+            z = (
+                jnp.matmul(
+                    u.astype(cd),
+                    C.T.astype(cd),
+                    preferred_element_type=self.location.dtype,
+                )
+                + self.location
+            )
+        else:
+            z = u @ C.T + self.location
         return z, u
 
     def log_prob(self, z: jax.Array) -> jax.Array:
@@ -247,6 +268,7 @@ def FullRankGaussian(
     location: jax.Array,
     scale: jax.Array | None = None,
     sampler: str = "xla",
+    compute_dtype: Any = None,
 ) -> FullRankLocationScale:
     """Gaussian with dense (Cholesky-factor) covariance."""
     location = jnp.asarray(location)
@@ -259,6 +281,7 @@ def FullRankGaussian(
         scale=jnp.tril(jnp.asarray(scale)),
         base=Normal(),
         sampler=sampler,
+        compute_dtype=compute_dtype,
     )
 
 

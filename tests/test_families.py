@@ -111,3 +111,49 @@ def test_student_t_and_laplace_bases(key):
         # entropy formula consistency: MC estimate of -E[log q] matches
         h_mc = -np.mean(np.asarray(q.log_prob(q.sample(key, 100_000))))
         np.testing.assert_allclose(float(q.entropy()), h_mc, rtol=0.02)
+
+
+def test_fullrank_compute_dtype_bf16(key):
+    """compute_dtype='bfloat16' quantizes only the sampling matmul: output
+    stays f32, draws match the f32 path to bf16 resolution, and densities /
+    entropy are computed from the f32 parameters (bit-identical)."""
+    d = 16
+    A = 0.3 * jax.random.normal(key, (d, d))
+    C = jnp.tril(A, -1) + jnp.eye(d)
+    q32 = avt.FullRankGaussian(jnp.arange(d, dtype=jnp.float32), C)
+    qbf = avt.FullRankGaussian(
+        jnp.arange(d, dtype=jnp.float32), C, compute_dtype="bfloat16"
+    )
+    z32, u32 = q32.sample_with_base(key, 64)
+    zbf, ubf = qbf.sample_with_base(key, 64)
+    assert zbf.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(u32), np.asarray(ubf))
+    # bf16 has ~3 significant decimal digits
+    np.testing.assert_allclose(
+        np.asarray(zbf), np.asarray(z32), rtol=2e-2, atol=2e-2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(q32.log_prob(z32)), np.asarray(qbf.log_prob(z32))
+    )
+    np.testing.assert_array_equal(
+        float(q32.entropy()), float(qbf.entropy())
+    )
+
+
+def test_normal_target_solve_free_parity(key):
+    """NormalTarget.solve_free(): precomputed L^{-1} path equals the
+    triangular-solve path (values and gradients)."""
+    from advancedvi_jl_tpu.models.normal import normal_fullrank
+
+    d = 48
+    target, mu, L = normal_fullrank(key, d)
+    sf = target.solve_free()
+    theta = mu + 0.5 * jax.random.normal(jax.random.key(1), (d,))
+    a = float(target.log_density(theta))
+    b = float(sf.log_density(theta))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-4)
+    ga = jax.grad(target.log_density)(theta)
+    gb = jax.grad(sf.log_density)(theta)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-4
+    )
