@@ -78,6 +78,29 @@ def normal_fullrank(key: jax.Array, n_dims: int = 5, dtype=jnp.float32):
     return NormalTarget(mu=mu, scale_tril=L), mu, L
 
 
+def normal_fullrank_wellcond(
+    key: jax.Array, n_dims: int, dtype=jnp.float32
+):
+    """Correlated Gaussian target that stays well-conditioned at LARGE d.
+
+    ``normal_fullrank``'s construction (O(1) off-diagonal entries) is the
+    reference fixture's shape, but random triangular factors with O(1)
+    entries have exponentially growing ``||L^{-1}||`` in d — fine at the
+    test d-range, numerically pathological past d ~ few hundred (f32 ELBOs
+    reach -1e32 and overflow at d=2048).  This variant scales the
+    off-diagonal by 1/sqrt(d) (unit-norm rows in expectation), keeping the
+    condition number modest at any d — the right fixture for large-model
+    benchmarks.
+    """
+    k1, k2 = jax.random.split(key)
+    mu = jax.random.normal(k1, (n_dims,), dtype)
+    A = jax.random.normal(k2, (n_dims, n_dims), dtype) * (
+        0.3 / n_dims**0.5
+    )
+    L = jnp.tril(A, -1) + jnp.eye(n_dims, dtype=dtype)
+    return NormalTarget(mu=mu, scale_tril=L), mu, L
+
+
 def normal_meanfield(key: jax.Array, n_dims: int = 5, dtype=jnp.float32):
     """Diagonal Gaussian target (reference: test/models/normal.jl meanfield)."""
     k1, k2 = jax.random.split(key)

@@ -159,12 +159,12 @@ def bench_fullrank_flopbound():
     timed chunks), so the speedup is not bought with convergence.
     """
     import advancedvi_jl_tpu as avt
-    from advancedvi_jl_tpu.models.normal import normal_fullrank
+    from advancedvi_jl_tpu.models.normal import normal_fullrank_wellcond
 
     PEAK = 197e12  # v5e bf16 peak FLOP/s (MFU convention; f32 peak is lower)
 
     for d, n in ((1024, 256), (2048, 128)):
-        target, mu, L = normal_fullrank(jax.random.key(3), d)
+        target, mu, L = normal_fullrank_wellcond(jax.random.key(3), d)
         results = {}
         for tag, (tgt, cdt) in {
             "baseline": (target, None),
