@@ -151,6 +151,15 @@ class FullRankLocationScale:
     # over u.  Measured: ELBO trajectory unchanged at d=1024 (BENCH_NOTES
     # "MFU" section); ~2x on the FLOP-bound full-rank configs.
     compute_dtype: Any = static_field(default=None)
+    # How to apply C^{-1} / C^{-T} on the hot paths (log_prob whitening, STL
+    # entropy backward).  "solve": XLA triangular_solve — sequential blocked
+    # substitution, best worst-case rounding.  "inverse": level-parallel
+    # blocked triangular inverse (ops/trinv.py) computed per call, then a
+    # plain MXU matmul — O(log d) sequential depth instead of O(d/128).
+    # Measured a wash at d=1024/n=256 on v5e (gather overhead offsets the
+    # parallelism; BENCH_NOTES "Round 3"); opt-in for shapes where many rhs
+    # amortize the inverse's fixed cost.
+    solve_mode: str = static_field(default="solve")
 
     @property
     def dim(self) -> int:
@@ -199,7 +208,10 @@ class FullRankLocationScale:
         # Batched triangular solve: the STL hot path `scale \ (z - location)`
         # (reference: location_scale.jl:59-63), batched over samples.
         diff = z - self.location
-        if diff.ndim == 1:
+        if self.solve_mode == "inverse":
+            T = self._tril_inverse(C)
+            u = diff @ T.T
+        elif diff.ndim == 1:
             u = _solve_lower(C, diff[:, None], trans=False)[:, 0]
         else:
             u = _solve_lower(C, diff.T, trans=False).T
@@ -218,9 +230,22 @@ class FullRankLocationScale:
 
     def apply_inv_scale_T(self, V: jax.Array) -> jax.Array:
         """C^{-T} applied to each row of (n, d) V: one transposed triangular
-        solve (the only solve left on the fast STL path)."""
+        solve (the only solve left on the fast STL path) — or, with
+        solve_mode="inverse", one blocked inverse + one MXU matmul."""
         C = self.tril_scale()
+        if self.solve_mode == "inverse":
+            return V @ self._tril_inverse(C)
         return _solve_lower(C, V.T, trans=True).T
+
+    def _tril_inverse(self, C: jax.Array) -> jax.Array:
+        if self.solve_mode not in ("solve", "inverse"):
+            raise ValueError(
+                f"solve_mode must be 'solve' or 'inverse', got "
+                f"{self.solve_mode!r}"
+            )
+        from ..ops.trinv import tril_inverse
+
+        return tril_inverse(C)
 
     def mean(self) -> jax.Array:
         mu_b = self.base.mean()
@@ -269,6 +294,7 @@ def FullRankGaussian(
     scale: jax.Array | None = None,
     sampler: str = "xla",
     compute_dtype: Any = None,
+    solve_mode: str = "solve",
 ) -> FullRankLocationScale:
     """Gaussian with dense (Cholesky-factor) covariance."""
     location = jnp.asarray(location)
@@ -282,6 +308,7 @@ def FullRankGaussian(
         base=Normal(),
         sampler=sampler,
         compute_dtype=compute_dtype,
+        solve_mode=solve_mode,
     )
 
 
