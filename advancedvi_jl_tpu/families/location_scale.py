@@ -160,17 +160,61 @@ class FullRankLocationScale:
     # parallelism; BENCH_NOTES "Round 3"); opt-in for shapes where many rhs
     # amortize the inverse's fixed cost.
     solve_mode: str = static_field(default="solve")
+    # Memory layout of ``scale``.  "dense": (d, d) array, lower triangle
+    # meaningful (the default; required by tp_axis row sharding and the
+    # measure-space algorithms, which rebuild dense factors each step).
+    # "packed": the (d(d+1)/2,) lower triangle row-major (ops/packing.py) —
+    # halves the HBM traffic of every elementwise pass over the parameters
+    # (optimizer, operators, averaging), which is what bounds the large-d
+    # step (~700 MB/step at d=2048, BENCH_NOTES "Round 3"); the dense
+    # factor is materialized only for the sampling matmul and the solves.
+    layout: str = static_field(default="dense")
 
     @property
     def dim(self) -> int:
         return self.location.shape[-1]
 
     def tril_scale(self) -> jax.Array:
+        if self.layout == "packed":
+            if self.tp_axis is not None:
+                raise ValueError(
+                    "layout='packed' cannot row-shard the scale; use "
+                    "layout='dense' with tp_axis"
+                )
+            from ..ops.packing import tril_unpack
+
+            return tril_unpack(self.scale, self.dim)
+        if self.layout != "dense":
+            raise ValueError(
+                f"layout must be 'dense' or 'packed', got {self.layout!r}"
+            )
         from ..parallel.mesh import shard_axis0
 
         # shard_axis0 no-ops outside a mesh, so a tp-configured family still
         # evaluates on a single device (e.g. post-training diagnostics).
         return shard_axis0(jnp.tril(self.scale), self.tp_axis)
+
+    def scale_diag_view(self) -> jax.Array:
+        """Diagonal of the effective scale, layout-agnostic."""
+        if self.layout == "packed":
+            from ..ops.packing import packed_diag
+
+            return packed_diag(self.scale, self.dim)
+        return jnp.diag(self.scale)
+
+    def with_scale_diag(self, new_diag: jax.Array) -> "FullRankLocationScale":
+        """Family with the scale diagonal replaced EXACTLY by ``new_diag``
+        (zero-then-set, no catastrophic cancellation), off-diagonal kept
+        as stored.  Layout-agnostic — the operator layer's entry point."""
+        if self.layout == "packed":
+            from ..ops.packing import packed_with_diag
+
+            return self.replace(
+                scale=packed_with_diag(self.scale, self.dim, new_diag)
+            )
+        C = self.scale
+        d0 = jnp.diag(C)
+        return self.replace(scale=C - jnp.diag(d0) + jnp.diag(new_diag))
 
     def sample(self, key: jax.Array, n_samples: int) -> jax.Array:
         return self.sample_with_base(key, n_samples)[0]
@@ -215,8 +259,8 @@ class FullRankLocationScale:
             u = _solve_lower(C, diff[:, None], trans=False)[:, 0]
         else:
             u = _solve_lower(C, diff.T, trans=False).T
-        return jnp.sum(self.base.log_prob(u), axis=-1) - jnp.sum(
-            jnp.log(jnp.abs(jnp.diag(C)))
+        return (
+            jnp.sum(self.base.log_prob(u), axis=-1) - self.log_det_scale()
         )
 
     def entropy(self) -> jax.Array:
@@ -226,7 +270,7 @@ class FullRankLocationScale:
         ) + self.log_det_scale()
 
     def log_det_scale(self) -> jax.Array:
-        return jnp.sum(jnp.log(jnp.abs(jnp.diag(self.scale))))
+        return jnp.sum(jnp.log(jnp.abs(self.scale_diag_view())))
 
     def apply_inv_scale_T(self, V: jax.Array) -> jax.Array:
         """C^{-T} applied to each row of (n, d) V: one transposed triangular
@@ -295,20 +339,32 @@ def FullRankGaussian(
     sampler: str = "xla",
     compute_dtype: Any = None,
     solve_mode: str = "solve",
+    layout: str = "dense",
 ) -> FullRankLocationScale:
-    """Gaussian with dense (Cholesky-factor) covariance."""
+    """Gaussian with dense (Cholesky-factor) covariance.
+
+    ``layout="packed"`` stores the scale as its (d(d+1)/2,) lower triangle —
+    the bandwidth-halving layout for large d (see FullRankLocationScale).
+    ``scale`` is always passed dense here; it is packed at construction.
+    """
     location = jnp.asarray(location)
     if scale is None:
         scale = jnp.eye(location.shape[-1], dtype=location.dtype)
     # Normalize to lower-triangular at construction so the stored parameters
     # equal the effective ones (keeps optimizer distance metrics honest).
+    scale = jnp.tril(jnp.asarray(scale))
+    if layout == "packed":
+        from ..ops.packing import tril_pack
+
+        scale = tril_pack(scale)
     return FullRankLocationScale(
         location=location,
-        scale=jnp.tril(jnp.asarray(scale)),
+        scale=scale,
         base=Normal(),
         sampler=sampler,
         compute_dtype=compute_dtype,
         solve_mode=solve_mode,
+        layout=layout,
     )
 
 

@@ -52,16 +52,15 @@ class ClipScale:
         if isinstance(q, (MeanFieldLocationScale, PerDatapointMeanField)):
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
         if isinstance(q, FullRankLocationScale):
-            # Zero the diagonal then set the clamped values, so clamped
-            # entries are exactly eps (no catastrophic cancellation).  The
-            # raw (possibly dense) scale is kept as-is off the diagonal: the
-            # strict upper triangle is inert by contract, and rewriting it
-            # (e.g. tril-masking) would perturb DoG/DoWG's global distance
-            # ||x - x0|| when the initial scale carried upper-triangle values.
-            C = q.scale
-            diag = jnp.diag(C)
-            C = C - jnp.diag(diag) + jnp.diag(jnp.maximum(diag, eps))
-            return q.replace(scale=C)
+            # with_scale_diag zeroes then sets, so clamped entries are
+            # exactly eps (no catastrophic cancellation).  Off-diagonal
+            # storage is kept as-is: the strict upper triangle (dense
+            # layout) is inert by contract, and rewriting it (e.g.
+            # tril-masking) would perturb DoG/DoWG's global distance
+            # ||x - x0|| when the initial scale carried upper-triangle
+            # values.  Layout-agnostic (dense or packed).
+            diag = q.scale_diag_view()
+            return q.with_scale_diag(jnp.maximum(diag, eps))
         if isinstance(q, LowRankLocationScale):
             return q.replace(scale_diag=jnp.maximum(q.scale_diag, eps))
         if isinstance(q, MixtureMeanField):
@@ -102,10 +101,9 @@ class ProximalLocationScaleEntropy:
         if isinstance(q, (MeanFieldLocationScale, PerDatapointMeanField)):
             return q.replace(scale_diag=prox(q.scale_diag))
         if isinstance(q, FullRankLocationScale):
-            C = q.scale  # upper triangle inert; only the diagonal moves
-            diag = jnp.diag(C)
-            C = C + jnp.diag(prox(diag) - diag)
-            return q.replace(scale=C)
+            # Only the diagonal moves; layout-agnostic (dense or packed).
+            diag = q.scale_diag_view()
+            return q.with_scale_diag(prox(diag))
         # NOTE: the low-rank family is deliberately NOT supported (matching
         # the reference, proximal_location_scale_entropy.jl:23): its entropy
         # carries a logdet-lemma term coupling scale_diag to the low-rank
