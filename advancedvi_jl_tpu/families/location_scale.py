@@ -158,7 +158,13 @@ class FullRankLocationScale:
     # plain MXU matmul — O(log d) sequential depth instead of O(d/128).
     # Measured a wash at d=1024/n=256 on v5e (gather overhead offsets the
     # parallelism; BENCH_NOTES "Round 3"); opt-in for shapes where many rhs
-    # amortize the inverse's fixed cost.
+    # amortize the inverse's fixed cost.  "pallas": single-kernel
+    # right-looking blocked solve (ops/pallas/trisolve_kernels.py), C
+    # streamed from HBM, custom VJP — the XLA solve is 55-59% of the
+    # FLOP-bound ADVI step and this removes its dispatch/dependency chain
+    # (BENCH_NOTES "Round 3").  Requires d % 128 == 0 (falls back to
+    # "solve" otherwise) and a single device (do not combine with mc/tp
+    # mesh axes: GSPMD cannot partition the custom call).
     solve_mode: str = static_field(default="solve")
     # Memory layout of ``scale``.  "dense": (d, d) array, lower triangle
     # meaningful (the default; required by tp_axis row sharding and the
@@ -255,6 +261,10 @@ class FullRankLocationScale:
         if self.solve_mode == "inverse":
             T = self._tril_inverse(C)
             u = diff @ T.T
+        elif self.solve_mode == "pallas" and diff.ndim == 2:
+            from ..ops.pallas.trisolve_kernels import vdiv_ct
+
+            u = vdiv_ct(C, diff)
         elif diff.ndim == 1:
             u = _solve_lower(C, diff[:, None], trans=False)[:, 0]
         else:
@@ -279,12 +289,21 @@ class FullRankLocationScale:
         C = self.tril_scale()
         if self.solve_mode == "inverse":
             return V @ self._tril_inverse(C)
+        if self.solve_mode == "pallas" and V.ndim == 2:
+            from ..ops.pallas.trisolve_kernels import vdiv_c
+
+            return vdiv_c(C, V)
+        if self.solve_mode not in ("solve", "pallas"):
+            raise ValueError(
+                f"solve_mode must be 'solve', 'inverse' or 'pallas', got "
+                f"{self.solve_mode!r}"
+            )
         return _solve_lower(C, V.T, trans=True).T
 
     def _tril_inverse(self, C: jax.Array) -> jax.Array:
-        if self.solve_mode not in ("solve", "inverse"):
+        if self.solve_mode not in ("solve", "inverse", "pallas"):
             raise ValueError(
-                f"solve_mode must be 'solve' or 'inverse', got "
+                f"solve_mode must be 'solve', 'inverse' or 'pallas', got "
                 f"{self.solve_mode!r}"
             )
         from ..ops.trinv import tril_inverse

@@ -64,49 +64,38 @@ def tril_inverse(C: jax.Array, block: int = _BASE) -> jax.Array:
         )
 
     nb = d // block
-    # (nb, nb, block, block) tile view
-    tiles = C.reshape(nb, block, nb, block).transpose(0, 2, 1, 3)
+    # Base case: batched inversion of the nb diagonal (block, block) blocks.
     diag_idx = jnp.arange(nb)
-    diag_blocks = tiles[diag_idx, diag_idx]  # (nb, block, block)
-
+    diag_blocks = C.reshape(nb, block, nb, block)[diag_idx, :, diag_idx, :]
     eye = jnp.eye(block, dtype=C.dtype)
-    base_inv = jax.vmap(
-        lambda b: solve_triangular(b, eye, lower=True)
-    )(diag_blocks)
+    X = jax.vmap(lambda b: solve_triangular(b, eye, lower=True))(diag_blocks)
 
-    # T starts as blockdiag(base_inv) in tile view; off-diagonal tiles are
-    # filled level by level.
-    T = jnp.zeros((nb, nb, block, block), dtype=C.dtype)
-    T = T.at[diag_idx, diag_idx].set(base_inv)
-
-    s = 1  # current solved tile size, in base-block units
-    while s < nb:
-        p = nb // (2 * s)  # number of pairs at this level
-        starts = jnp.arange(p) * 2 * s  # base-block row/col of each pair's A
-
-        # Gather the pair sub-operators as (p, s*block, s*block) dense mats.
-        def gather(M, r0, c0):
-            # rows r0..r0+s, cols c0..c0+s of the tile grid, densified
-            rows = (starts[:, None] + r0 + jnp.arange(s)[None, :])  # (p, s)
-            cols = (starts[:, None] + c0 + jnp.arange(s)[None, :])
-            sub = M[rows[:, :, None], cols[:, None, :]]  # (p, s, s, b, b)
-            return sub.transpose(0, 1, 3, 2, 4).reshape(
-                p, s * block, s * block
-            )
-
-        Ai = gather(T, 0, 0)
-        Di = gather(T, s, s)
-        Ctiles = C.reshape(nb, block, nb, block).transpose(0, 2, 1, 3)
-        B = gather(Ctiles, s, 0)
-
-        # -D^{-1} B A^{-1}: two batched MXU matmuls per pair
+    # Bottom-up pair merge.  Invariant: X is the (p, m, m) batch of the
+    # inverses of C's p = d/m diagonal (m, m) blocks.  Each level merges
+    # consecutive pairs [[A, 0], [B, D]] -> [[Ai, 0], [-Di B Ai, Di]].
+    # Everything stays batch-contiguous: A/D split by a (p, 2, m, m)
+    # reshape, B by ONE diagonal gather from the original C, and the merged
+    # inverse is assembled with concatenates — no tile-grid scatters (the
+    # previous tile-indexed formulation spent the matmul win on its
+    # gather/scatter passes; BENCH_NOTES "Round 3").
+    m = block
+    p = nb
+    while p > 1:
+        p //= 2
+        X = X.reshape(p, 2, m, m)
+        Ai, Di = X[:, 0], X[:, 1]
+        # B_i = C[(2i+1)m : (2i+2)m, 2i*m : (2i+1)m]: the sub-diagonal
+        # (m, m) blocks of the 2m-partition of C.
+        idx = jnp.arange(p)
+        B = C.reshape(p, 2 * m, p, 2 * m)[idx, m:, idx, :m]
         O = -jnp.einsum("pij,pjk->pik", Di, jnp.einsum("pij,pjk->pik", B, Ai))
+        X = jnp.concatenate(
+            [
+                jnp.concatenate([Ai, jnp.zeros_like(O)], axis=2),
+                jnp.concatenate([O, Di], axis=2),
+            ],
+            axis=1,
+        )
+        m *= 2
 
-        # scatter O back into T's (s..2s, 0..s) tile positions
-        Ob = O.reshape(p, s, block, s, block).transpose(0, 1, 3, 2, 4)
-        rows = (starts[:, None] + s + jnp.arange(s)[None, :])  # (p, s)
-        cols = (starts[:, None] + jnp.arange(s)[None, :])
-        T = T.at[rows[:, :, None], cols[:, None, :]].set(Ob)
-        s *= 2
-
-    return T.transpose(0, 2, 1, 3).reshape(d, d)
+    return X[0]

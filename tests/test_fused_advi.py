@@ -1,0 +1,154 @@
+"""Parity tests for the whole-loop fused ADVI engine (ops/pallas/fused_advi).
+
+The engine's update math (reparameterized draw -> hand-derived logreg
+gradient -> STL correction -> Adam -> ClipScale -> polynomial averaging)
+is pinned against the general path by injecting the general path's OWN
+base draws through the engine's ``noise`` debug input: with identical
+noise, the fused state after T steps must match ``alg.step`` composed T
+times.  Runs in Pallas interpret mode on CPU (the noise path never
+touches TPU RNG primitives).  RNG-path statistics are validated on
+hardware by bench.py / the verify flow, not here (CLAUDE.md RNG rules).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from numpy.testing import assert_allclose
+
+import advancedvi_jl_tpu as avt
+from advancedvi_jl_tpu.models.logreg import make_logreg
+from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+    D_PAD,
+    N_PAD,
+    FusedLogRegADVI,
+)
+
+T = 5
+N_SAMPLES = 10
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    prob = make_logreg(jax.random.key(11), n_data=208, n_features=60)
+    return prob, prob.unconstrained()
+
+
+def _run_general_path(target, q0, steps):
+    """General-path states + the exact base draws each step consumed."""
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL,
+        n_samples=N_SAMPLES,
+        optimizer=optax.adam(1e-3),
+        operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    step = jax.jit(alg.step)
+    draws, infos = [], []
+    for _ in range(steps):
+        step_key = jax.random.fold_in(state.key, state.iteration)
+        _, u = state.q.sample_with_base(step_key, N_SAMPLES)
+        draws.append(np.asarray(u))
+        state, info = step(state)
+        infos.append(info)
+    return alg, state, draws, infos
+
+
+def _pack_noise(draws):
+    noise = np.zeros((len(draws) * N_PAD, D_PAD), np.float32)
+    for t, u in enumerate(draws):
+        noise[t * N_PAD : t * N_PAD + u.shape[0], : u.shape[1]] = u
+    return jnp.asarray(noise)
+
+
+def test_fused_matches_general_path(flagship):
+    prob, target = flagship
+    d = prob.dim
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+
+    alg, state, draws, infos = _run_general_path(target, q0, T)
+
+    engine = FusedLogRegADVI(
+        prob.X, prob.y, prior_scale=prob.prior_scale,
+        likeadj=float(prob.likeadj), n_samples=N_SAMPLES, lr=1e-3,
+        interpret=True,
+    )
+    fstate = engine.init(q0.location, q0.scale_diag)
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=T, noise=_pack_noise(draws)
+    )
+
+    # current parameters
+    assert_allclose(
+        fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6
+    )
+    assert_allclose(
+        fstate.sig[0, :d], state.q.scale_diag, rtol=1e-5, atol=1e-6
+    )
+    # averaged parameters (ParamSpaceSGD.output)
+    q_avg = alg.output(state)
+    q_fused = engine.q(fstate)
+    assert_allclose(q_fused.location, q_avg.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        q_fused.scale_diag, q_avg.scale_diag, rtol=1e-5, atol=1e-6
+    )
+    # Adam moments
+    adam_state = state.opt_state[0]  # ScaleByAdamState inside the chain
+    assert_allclose(
+        fstate.m_mu[0, :d], adam_state.mu.location, rtol=1e-5, atol=1e-7
+    )
+    assert_allclose(
+        fstate.m_sig[0, :d], adam_state.mu.scale_diag, rtol=1e-5, atol=1e-7
+    )
+    assert_allclose(
+        fstate.v_mu[0, :d], adam_state.nu.location, rtol=5e-5, atol=1e-9
+    )
+    # ELBO estimate of the final step
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+    # padding stayed inert
+    assert np.all(np.asarray(fstate.m_mu[0, d:]) == 0.0)
+    assert np.all(np.asarray(fstate.sig[0, d:]) == 1.0)
+    assert fstate.iteration == T
+
+
+def test_fused_chunking_is_associative(flagship):
+    """run_chunk(T) == run_chunk(T1) then run_chunk(T2) with the same
+    injected noise split at the chunk boundary."""
+    prob, target = flagship
+    d = prob.dim
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    _, _, draws, _ = _run_general_path(target, q0, T)
+    noise = _pack_noise(draws)
+
+    engine = FusedLogRegADVI(
+        prob.X, prob.y, n_samples=N_SAMPLES, lr=1e-3, interpret=True
+    )
+    f_all = engine.run_chunk(
+        engine.init(q0.location, q0.scale_diag),
+        jax.random.key(1), steps=T, noise=noise,
+    )
+    f_split = engine.init(q0.location, q0.scale_diag)
+    f_split = engine.run_chunk(
+        f_split, jax.random.key(1), steps=2, noise=noise[: 2 * N_PAD]
+    )
+    f_split = engine.run_chunk(
+        f_split, jax.random.key(1), steps=T - 2, noise=noise[2 * N_PAD :]
+    )
+    for a, b in zip(f_all[:8], f_split[:8]):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    assert f_split.iteration == T
+
+
+def test_fused_validation():
+    X = jnp.zeros((8, 200))
+    y = jnp.zeros((8,))
+    with pytest.raises(ValueError, match="dim"):
+        FusedLogRegADVI(X, y)
+    with pytest.raises(ValueError, match="n_samples"):
+        FusedLogRegADVI(jnp.zeros((8, 4)), jnp.zeros((8,)), n_samples=32)
+    eng = FusedLogRegADVI(jnp.zeros((8, 4)), jnp.zeros((8,)))
+    with pytest.raises(ValueError, match="location"):
+        eng.init(jnp.zeros(3), jnp.ones(3))
