@@ -10,18 +10,24 @@ FLOP-bound ADVI step (BENCH_NOTES "Round 3 profile").
 This kernel restructures the solve as ONE Pallas program: a sequential
 grid over block-rows/cols of C with the whole right-looking update in
 VMEM, C streamed from HBM one (B, d) slab per grid step (auto
-double-buffered by the pipeline), and the per-block inverse applied as a
-batched MXU matmul against precomputed diagonal-block inverses.
+double-buffered by the pipeline), and the per-block inverse computed
+IN-KERNEL by an exactly-terminating Newton iteration (the residual of
+the diagonal seed is nilpotent, so ceil(log2 B) iterations are exact) —
+precomputing those inverses with an XLA batched triangular_solve costs
+as much as the solve being replaced and ate the whole win in the first
+measurement.
 
-Two tricks keep every step mask-free and fully MXU-shaped:
+Three tricks keep every step mask-free and fully MXU-shaped:
 
 - The right-looking update ``WS -= W_b @ slab`` runs FULL-WIDTH (n, B) x
   (B, d): columns above the diagonal block are zero in C (no-op), and the
   diagonal-block region of WS gets corrupted by ``-W_b @ D_b`` — but that
   region is overwritten with ``W_b`` in the same step and never read
   again, so no column mask is needed.
-- Transposed operators contract against the SECOND axis of the stored
-  block via ``dot_general`` instead of materializing a transpose.
+- The transposed mode feeds C^T (one d^2 transpose pass), so the slab
+  holds exactly the operator blocks and no transposed contraction is
+  needed anywhere — including the Newton inversion, which inverts D^T
+  directly (the transposed seed residual is nilpotent too).
 
 Modes (both solve a RIGHT division, batched over rows of V):
 
@@ -44,12 +50,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.scipy.linalg import solve_triangular
 
 
 def _pick_block(d: int) -> int:
-    if d % 256 == 0:
-        return 256
+    # B = 128: the in-kernel Newton inversion costs ~4 B^2 d log2(B) FLOPs
+    # total, so the smallest MXU-native tile wins (256 would 4x it while
+    # the main right-looking update's FLOPs are B-independent).
     if d % 128 == 0:
         return 128
     return 0
@@ -59,19 +65,9 @@ def supports_pallas_trisolve(d: int) -> bool:
     return _pick_block(d) > 0
 
 
-def diag_block_inverses(C: jax.Array, block: int) -> jax.Array:
-    """(K, B, B) inverses of C's diagonal blocks (lower-triangular)."""
-    d = C.shape[0]
-    nb = d // block
-    idx = jnp.arange(nb)
-    blocks = C.reshape(nb, block, nb, block)[idx, :, idx, :]
-    eye = jnp.eye(block, dtype=C.dtype)
-    return jax.vmap(lambda b: solve_triangular(b, eye, lower=True))(blocks)
-
-
-def _kernel(transpose_c, nblocks, c_ref, dinv_ref, v_ref, out_ref, ws_ref):
+def _kernel(transpose_c, nblocks, nnewton, c_ref, v_ref, out_ref, ws_ref):
     k = pl.program_id(0)
-    B = dinv_ref.shape[1]
+    B = c_ref.shape[0]
     # mode "C" walks block index b = K-1-k (backward); "CT" walks b = k.
     b = k if transpose_c else nblocks - 1 - k
 
@@ -79,21 +75,35 @@ def _kernel(transpose_c, nblocks, c_ref, dinv_ref, v_ref, out_ref, ws_ref):
     def _init():
         ws_ref[:] = v_ref[:]
 
-    resid = ws_ref[:, pl.ds(b * B, B)]          # (n, B)
-    dinv = dinv_ref[0]                          # (B, B)
-    if transpose_c:
-        # diagonal blocks of C^T are D_b^T: W_b = resid @ D_b^{-T},
-        # contracted against dinv's SECOND axis (no transpose materialized)
-        w = jax.lax.dot_general(
-            resid, dinv, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        w = jnp.dot(resid, dinv, preferred_element_type=jnp.float32)
-    # full-width right-looking update; c_ref holds a row slab of C
-    # (mode "C") or of C^T (mode "CT", fed transposed by the wrapper), so
-    # this is a standard contraction in both modes.
-    upd = jnp.dot(w, c_ref[:], preferred_element_type=jnp.float32)
+    slab = c_ref[:]                              # (B, d) row slab
+    resid = ws_ref[:, pl.ds(b * B, B)]           # (n, B)
+
+    # Invert the diagonal block IN-KERNEL by Newton iteration.  The block
+    # D sits in the slab at columns [bB, (b+1)B).  With the diagonal seed
+    # X0 = diag(1/d_i), the residual R0 = I - D X0 is strictly triangular
+    # (nilpotent of index B), and Newton squares it: R_{k+1} = R_k^2, so
+    # ceil(log2(B)) iterations terminate EXACTLY — 2 (B, B) MXU matmuls
+    # each, all inside the one dispatch.  An XLA batched triangular_solve
+    # for these inverses costs as much as the solve being replaced
+    # (measured: it ate the kernel's whole win, BENCH_NOTES "Round 3").
+    D = c_ref[:, pl.ds(b * B, B)]  # ref slice (value dynamic_slice is not
+    #                                lowered by Mosaic)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    eye = (row == col).astype(jnp.float32)
+    dvec = jnp.sum(D * eye, axis=1, keepdims=True)   # (B, 1) diagonal
+    X = eye / dvec                                    # diag(1/d_i)
+    for _ in range(nnewton):
+        DX = jnp.dot(D, X, preferred_element_type=jnp.float32)
+        X = jnp.dot(X, 2.0 * eye - DX, preferred_element_type=jnp.float32)
+
+    # In mode "CT" the wrapper feeds C^T, so D here is D_b^T and X its
+    # inverse — exactly the operator the transposed solve needs; no
+    # transposed contraction required in either mode.
+    w = jnp.dot(resid, X, preferred_element_type=jnp.float32)
+    # full-width right-looking update (columns past the triangle are zero
+    # in the slab; the diagonal-block region is overwritten just below)
+    upd = jnp.dot(w, slab, preferred_element_type=jnp.float32)
     ws_ref[:] = ws_ref[:] - upd
     ws_ref[:, pl.ds(b * B, B)] = w
     out_ref[:, pl.ds(b * B, B)] = w
@@ -102,7 +112,7 @@ def _kernel(transpose_c, nblocks, c_ref, dinv_ref, v_ref, out_ref, ws_ref):
 @functools.partial(
     jax.jit, static_argnames=("mode", "block", "interpret")
 )
-def _solve_raw(C, Dinv, V, mode, block, interpret):
+def _solve_raw(C, V, mode, block, interpret):
     n, d = V.shape
     nb = d // block
     transpose_c = mode == "CT"
@@ -116,18 +126,12 @@ def _solve_raw(C, Dinv, V, mode, block, interpret):
         c_spec = pl.BlockSpec(
             (block, d), lambda k: (nb - 1 - k, 0), memory_space=pltpu.VMEM
         )
+    nnewton = max(1, (block - 1).bit_length())  # ceil(log2(block))
     return pl.pallas_call(
-        functools.partial(_kernel, transpose_c, nb),
+        functools.partial(_kernel, transpose_c, nb, nnewton),
         grid=(nb,),
         in_specs=[
             c_spec,
-            pl.BlockSpec(
-                (1, block, block),
-                (lambda k: (k, 0, 0))
-                if transpose_c
-                else (lambda k: (nb - 1 - k, 0, 0)),
-                memory_space=pltpu.VMEM,
-            ),
             pl.BlockSpec((n, d), lambda k: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -136,14 +140,13 @@ def _solve_raw(C, Dinv, V, mode, block, interpret):
         out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((n, d), jnp.float32)],
         interpret=interpret,
-    )(C, Dinv, V)
+    )(C, V)
 
 
 def solve_right(
     C: jax.Array,
     V: jax.Array,
     mode: str = "C",
-    dinv: jax.Array | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """W = V @ C^{-1} (mode "C") or V @ C^{-T} (mode "CT"), V: (n, d).
@@ -161,14 +164,12 @@ def solve_right(
         return jax.lax.linalg.triangular_solve(
             C, V.T, left_side=True, lower=True, transpose_a=not trans
         ).T
-    if dinv is None:
-        dinv = diag_block_inverses(C, block)
     if mode == "CT":
         # one d^2 transpose pass so the kernel's slab loads stay row-major
-        return _solve_raw(C.T, dinv, V, "CT", block, interpret)
+        return _solve_raw(C.T, V, "CT", block, interpret)
     if mode != "C":
         raise ValueError(f"mode must be 'C' or 'CT', got {mode!r}")
-    return _solve_raw(C, dinv, V, "C", block, interpret)
+    return _solve_raw(C, V, "C", block, interpret)
 
 
 # ---------------------------------------------------------------------------
