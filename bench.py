@@ -11,18 +11,23 @@ ENTIRE optimization loop (on-chip RNG, reparameterized draw, hand-derived
 gradient, STL correction, Adam, ClipScale, averaging) runs inside one
 kernel dispatch per chunk.  Its update math is pinned step-by-step against
 the general ``alg.step`` path (tests/test_fused_advi.py) and its converged
-posterior matches the general path (BENCH_NOTES "Round 3").  The general
-path's throughput is printed to stderr alongside.
+posterior matches the general path on chip (BENCH_NOTES "Round 3/4").
 
-Timing methodology: the axon tunnel costs ~24 ms per dispatch round-trip
-(measured), so chunks are sized to amortize it (50k steps/chunk fused,
-20k general); the quoted number is measured wall-clock steps/s including
-that residual overhead, NOT an extrapolated device rate.
+Stage order is loss-proof (round-3 lesson: the round artifact was lost to
+a TPU-side hang AFTER a successful mid-round run of the same script —
+wedged-chip risk is real and unfixable from here, so time-to-JSON is the
+design constraint):
+  1. fused engine: compile (fori_loop — length-independent, seconds),
+     time 3 x 50k-step chunks, and print THE one JSON line immediately.
+  2. general-path comparison (alg.step under a 20k-step scan): stderr only.
+  3. perf regression gate vs the last parsed BENCH_r*.json: stderr only;
+     it runs after the JSON is out so it can never destroy the artifact.
 
-The reference publishes NO absolute numbers (BASELINE.md): its CI tracks
-relative regressions only.  ``vs_baseline`` is therefore reported against a
-documented nominal proxy REF_STEPS_PER_S for the reference's single-core CPU
-hot loop on this workload; >1.0 means faster than the proxy.
+Convergence is REPORTED (``converged`` field, general-path elbo lands
+~-103 at this horizon), never asserted — a diverged run still records its
+timing.  ``vs_baseline`` is vs the documented nominal proxy
+REF_STEPS_PER_S for the reference's single-core CPU hot loop on this
+workload (the reference publishes no absolute numbers, BASELINE.md).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N, ...}
@@ -43,6 +48,17 @@ FUSED_CHUNK = 50_000
 GENERAL_CHUNK = 20_000
 N_CHUNKS = 3
 
+# Shared workload config: single source of truth, also imported by
+# tests/test_fused_advi.py::test_bench_config_matches_engine_defaults so the
+# fused-engine defaults can never drift from what this bench times.
+BENCH_CONFIG = dict(
+    n_data=208, n_features=60, n_samples=10, lr=1e-3, data_seed=11,
+)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 
 def _bench_general(alg, state):
     """steps/s of the general alg.step path under a carry-only scan."""
@@ -61,55 +77,45 @@ def _bench_general(alg, state):
     run = jax.jit(lambda s: chunk(s, GENERAL_CHUNK))
     state, elbo = run(state)
     _ = float(jax.device_get(elbo))
-    best = 1e9
+    best, e = 1e9, float("nan")
     for _ in range(N_CHUNKS):
         t0 = time.time()
         state, elbo = run(state)
         e = float(jax.device_get(elbo))
         best = min(best, time.time() - t0)
-    assert jnp.isfinite(e)
     return GENERAL_CHUNK / best, e
 
 
 def main():
-    import optax
-
     import advancedvi_jl_tpu as avt
     from advancedvi_jl_tpu.models.logreg import make_logreg
     from advancedvi_jl_tpu.ops.pallas.fused_advi import FusedLogRegADVI
 
+    t_start = time.time()
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    log(f"device: {dev}")
 
-    prob = make_logreg(jax.random.key(11), n_data=208, n_features=60)
-    target = prob.unconstrained()
+    cfg = BENCH_CONFIG
+    prob = make_logreg(
+        jax.random.key(cfg["data_seed"]),
+        n_data=cfg["n_data"],
+        n_features=cfg["n_features"],
+    )
     d = prob.dim
     q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
-    alg = avt.KLMinRepGradDescent(
-        entropy=avt.STL,
-        n_samples=10,
-        optimizer=optax.adam(1e-3),
-        operator=avt.ClipScale(),
-    )
-    # rbg keys ride the TPU's hardware RNG instruction (BENCH_NOTES).
-    state = alg.init(jax.random.key(0, impl="rbg"), q0, target)
 
-    t0 = time.time()
-    gen_sps, gen_elbo = _bench_general(alg, state)
-    print(
-        f"general path: {gen_sps:.0f} steps/s (elbo {gen_elbo:.3f}, "
-        f"warmup+bench {time.time() - t0:.1f}s)",
-        file=sys.stderr,
+    # ---- stage 1: fused whole-loop engine (the headline number) ----
+    eng = FusedLogRegADVI(
+        prob.X, prob.y, n_samples=cfg["n_samples"], lr=cfg["lr"]
     )
-
-    # fused whole-loop engine (same workload, same update math)
-    eng = FusedLogRegADVI(prob.X, prob.y, n_samples=10, lr=1e-3)
     f = eng.init(q0.location, q0.scale_diag)
     key = jax.random.key(0)
     run = jax.jit(lambda s: eng.run_chunk(s, key, steps=FUSED_CHUNK))
     f = run(f)
     _ = float(jax.device_get(f.elbo))
+    log(f"fused warmup+compile: {time.time() - t_start:.1f}s")
     times = []
+    elbo = float("nan")
     for _ in range(N_CHUNKS):
         t0 = time.time()
         f = run(f)
@@ -117,14 +123,10 @@ def main():
         times.append(time.time() - t0)
     best = min(times)
     steps_per_s = FUSED_CHUNK / best
-    print(
-        f"fused chunks: {[f'{t:.3f}s' for t in times]}  elbo: {elbo:.3f}",
-        file=sys.stderr,
-    )
-    assert jnp.isfinite(elbo), "bench run diverged"
-    # sanity: the fused run must actually be converged to the flagship
-    # posterior region (general-path elbo lands ~-105 at this horizon)
-    assert elbo > -150.0, f"fused elbo {elbo} not in the converged region"
+    log(f"fused chunks: {[f'{t:.3f}s' for t in times]}  elbo: {elbo:.3f}")
+    # converged = landed in the flagship posterior region (general-path
+    # elbo ~-103 at this horizon); reported, never asserted.
+    converged = bool(jnp.isfinite(elbo)) and elbo > -150.0
 
     print(
         json.dumps(
@@ -134,10 +136,47 @@ def main():
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_s / REF_STEPS_PER_S, 3),
                 "engine": "fused_pallas_whole_loop",
-                "general_path_steps_per_s": round(gen_sps, 1),
+                "converged": converged,
+                "elbo": round(elbo, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # ---- stage 2: general-path comparison (stderr only) ----
+    try:
+        import optax
+
+        alg = avt.KLMinRepGradDescent(
+            entropy=avt.STL,
+            n_samples=cfg["n_samples"],
+            optimizer=optax.adam(cfg["lr"]),
+            operator=avt.ClipScale(),
+        )
+        # rbg keys ride the TPU's hardware RNG instruction (BENCH_NOTES).
+        state = alg.init(
+            jax.random.key(0, impl="rbg"), q0, prob.unconstrained()
+        )
+        t0 = time.time()
+        gen_sps, gen_elbo = _bench_general(alg, state)
+        log(
+            f"general path: {gen_sps:.0f} steps/s (elbo {gen_elbo:.3f}, "
+            f"warmup+bench {time.time() - t0:.1f}s) — "
+            f"fused speedup {steps_per_s / gen_sps:.2f}x"
+        )
+    except Exception as exc:  # stage must not damage the artifact
+        log(f"general path FAILED (artifact unaffected): {exc!r}")
+
+    # ---- stage 3: perf regression gate (stderr only) ----
+    try:
+        from perf_gate import check
+
+        verdict, ok = check(steps_per_s, "fused_pallas_whole_loop")
+        log(verdict)
+    except Exception as exc:
+        log(f"perf gate errored (artifact unaffected): {exc!r}")
+
+    log(f"total bench wall-clock: {time.time() - t_start:.1f}s")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,95 @@
+"""In-repo perf regression gate (reference analogue:
+/root/reference/.github/workflows/Benchmark.yml:44-57, alert at 200%).
+
+Compares a freshly measured bench value against the most recent round
+artifact ``BENCH_r{N}.json`` that actually parsed (``parsed != null``).
+The TPU tunnel's run-to-run noise band is +-10% (CLAUDE.md), so the gate
+fails only beyond that band AND only when the comparison is
+apples-to-apples (same metric key and same engine).  A prior round with a
+different engine is reported for information but does not gate.
+
+Usage (standalone):  python perf_gate.py <value> [engine]
+  exit 0 = pass / no comparable prior;  exit 1 = regression.
+In-process: ``check(value, engine) -> (verdict: str, ok: bool)`` —
+bench.py calls this AFTER printing its JSON line so a gate failure can
+never destroy the round artifact.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+NOISE_BAND = 0.10  # documented +-10% tunnel noise (CLAUDE.md)
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def latest_prior() -> tuple[int, dict] | None:
+    """(round, parsed-dict) of the newest BENCH_r*.json with parsed data."""
+    best = None
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            # driver artifacts are concatenated JSON objects; the parsed
+            # payload we want is the top-level "parsed" of the LAST object
+            text = f.read()
+        try:
+            rec = json.loads(text)
+        except json.JSONDecodeError:
+            # concatenated objects: parse greedily
+            dec = json.JSONDecoder()
+            idx, rec = 0, None
+            while idx < len(text):
+                try:
+                    obj, end = dec.raw_decode(text, idx)
+                except json.JSONDecodeError:
+                    break
+                rec = obj if rec is None else rec
+                idx = end
+                while idx < len(text) and text[idx] in " \n\t\r":
+                    idx += 1
+        if rec is None or rec.get("parsed") is None:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, rec["parsed"])
+    return best
+
+
+def check(value: float, engine: str | None = None) -> tuple[str, bool]:
+    prior = latest_prior()
+    if prior is None:
+        return "perf gate: no prior parsed BENCH artifact — pass (first run)", True
+    n, parsed = prior
+    prev = parsed.get("value")
+    prev_engine = parsed.get("engine")
+    if prev is None:
+        return f"perf gate: BENCH_r{n:02d} has no value — pass", True
+    ratio = value / prev
+    if engine is not None and prev_engine is not None and engine != prev_engine:
+        return (
+            f"perf gate: prior round r{n} used engine={prev_engine!r}, current "
+            f"={engine!r} — info only: {value:.1f} vs {prev:.1f} ({ratio:.2f}x)"
+        ), True
+    if ratio < 1.0 - NOISE_BAND:
+        return (
+            f"perf gate: REGRESSION — {value:.1f} vs r{n}'s {prev:.1f} "
+            f"({ratio:.2f}x, band -{NOISE_BAND:.0%})"
+        ), False
+    return (
+        f"perf gate: pass — {value:.1f} vs r{n}'s {prev:.1f} ({ratio:.2f}x)"
+    ), True
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
+    verdict, ok = check(float(sys.argv[1]), sys.argv[2] if len(sys.argv) > 2 else None)
+    print(verdict)
+    sys.exit(0 if ok else 1)
