@@ -1,0 +1,271 @@
+"""On-chip statistical validation of ALL Pallas RNG paths (VERDICT r3 #6).
+
+Interpret mode stubs TPU RNG primitives to zeros (CLAUDE.md), so the
+Box-Muller streams can only be validated on hardware.  One script, three
+layers, pass/fail per criterion:
+
+1. Sampler kernels (meanfield / fullrank / lowrank): pooled base-draw
+   moments (mean, var, kurtosis ~ normality), sample mean vs location,
+   sample covariance vs the family's exact covariance.  n = 65536 draws.
+2. Fused whole-loop engines (on-chip RNG streams): convergence to the
+   known optimum — full-rank + gaussian(normal-lognormal) has an ANALYTIC
+   optimum (location = target mean, scale -> diag of target stddev,
+   ELBO -> 0); mean-field + logreg and full-rank + logreg are compared to
+   the general path's converged posterior via the same n=4096 ELBO
+   estimator.
+3. Throughput of the new full-rank fused engines (chunked, device_get
+   sync), recorded for BENCH_NOTES.
+
+Exit code 0 iff every criterion passes.  Run on the real chip:
+    python _rng_validation.py
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import advancedvi_jl_tpu as avt
+from advancedvi_jl_tpu.models.logreg import make_logreg
+from advancedvi_jl_tpu.models.normallognormal import make_normallognormal
+from advancedvi_jl_tpu.ops.pallas import location_scale_kernels as lsk
+from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+    FULLRANK,
+    FusedADVI,
+    FusedLogRegADVI,
+    logreg_spec,
+    normallognormal_spec,
+)
+
+FAILURES = []
+
+
+def check(name, ok, detail):
+    status = "PASS" if ok else "FAIL"
+    print(f"[{status}] {name}: {detail}", flush=True)
+    if not ok:
+        FAILURES.append(name)
+
+
+def base_moment_checks(tag, u):
+    """u: (n, d) base draws that should be iid N(0, 1)."""
+    u = np.asarray(u, np.float64)
+    n_total = u.size
+    m = u.mean()
+    v = u.var()
+    k = ((u - m) ** 4).mean() / v**2
+    se_m = 1.0 / np.sqrt(n_total)
+    se_k = np.sqrt(24.0 / n_total)
+    check(f"{tag} base mean", abs(m) < 5 * se_m, f"{m:+.5f} (5se={5*se_m:.5f})")
+    check(
+        f"{tag} base var", abs(v - 1) < 5 * np.sqrt(2.0 / n_total),
+        f"{v:.5f}",
+    )
+    check(f"{tag} base kurtosis", abs(k - 3) < 6 * se_k, f"{k:.4f}")
+    # lag-1 serial correlation down the draw axis (stream independence)
+    flat = u.reshape(-1)
+    r1 = np.corrcoef(flat[:-1], flat[1:])[0, 1]
+    check(f"{tag} base lag-1 corr", abs(r1) < 5 * se_m, f"{r1:+.5f}")
+
+
+def cov_checks(tag, z, loc, cov_exact):
+    z = np.asarray(z, np.float64)
+    n = z.shape[0]
+    loc = np.asarray(loc, np.float64)
+    cov_exact = np.asarray(cov_exact, np.float64)
+    sd = np.sqrt(np.diag(cov_exact))
+    merr = np.max(np.abs(z.mean(0) - loc) / (sd / np.sqrt(n)))
+    check(f"{tag} sample mean", merr < 6.0, f"max |err|/se = {merr:.2f}")
+    cov = np.cov(z.T)
+    scale = np.outer(sd, sd)
+    cerr = np.max(np.abs(cov - cov_exact) / scale)
+    # entry se ~ sqrt((1 + rho^2)/n) <= sqrt(2/n); 6-sigma band
+    check(
+        f"{tag} sample cov", cerr < 6 * np.sqrt(2.0 / n),
+        f"max rel err = {cerr:.4f} (band {6*np.sqrt(2.0/n):.4f})",
+    )
+
+
+def sampler_layer():
+    print("== layer 1: sampler kernels ==", flush=True)
+    d, n = 64, 65536
+    key = jax.random.key(42)
+    loc = jnp.linspace(-1.0, 1.0, d)
+    sd_diag = jnp.linspace(0.5, 2.0, d)
+
+    z, u = lsk.meanfield_sample(lsk.key_to_seed(key), loc, sd_diag, n)
+    z, u = jax.device_get((z, u))
+    base_moment_checks("meanfield", u)
+    cov_checks("meanfield", z, loc, np.diag(np.asarray(sd_diag) ** 2))
+
+    C = 0.3 * jnp.eye(d) + 0.1 * jnp.tril(
+        jax.random.normal(jax.random.key(1), (d, d)), -1
+    )
+    z, u = lsk.fullrank_sample(lsk.key_to_seed(jax.random.key(43)), loc, C, n)
+    z, u = jax.device_get((z, u))
+    base_moment_checks("fullrank", u)
+    Cn = np.asarray(C, np.float64)
+    cov_checks("fullrank", z, loc, Cn @ Cn.T)
+
+    r = 8
+    U = 0.2 * jax.random.normal(jax.random.key(2), (d, r))
+    out = lsk.lowrank_sample(
+        lsk.key_to_seed(jax.random.key(44)), loc, sd_diag, U, n
+    )
+    z, u1 = jax.device_get((out[0], out[1]))
+    base_moment_checks("lowrank", u1)
+    Un = np.asarray(U, np.float64)
+    cov_lr = np.diag(np.asarray(sd_diag, np.float64) ** 2) + Un @ Un.T
+    cov_checks("lowrank", z, loc, cov_lr)
+
+
+def fused_layer():
+    print("== layer 2: fused-engine RNG streams (convergence) ==", flush=True)
+
+    # (a) full-rank + gaussian: analytic optimum
+    prob, mu_true, sd_true = make_normallognormal(jax.random.key(7), 10)
+    d = prob.dim
+    eng = FusedADVI(
+        normallognormal_spec(prob), family=FULLRANK, n_samples=10, lr=2e-3
+    )
+    st = eng.init(jnp.zeros(d), 0.1 * jnp.eye(d))
+    st = jax.jit(lambda s: eng.run_chunk(s, jax.random.key(5), 60_000))(st)
+    q = eng.q(st)
+    loc_err = float(jnp.max(jnp.abs(q.location - mu_true)))
+    diag_err = float(jnp.max(jnp.abs(jnp.diag(q.scale) - sd_true)))
+    off = q.scale - jnp.diag(jnp.diag(q.scale))
+    off_err = float(jnp.max(jnp.abs(off)))
+    check("fused fullrank+NLN loc", loc_err < 0.02, f"max|err|={loc_err:.4f}")
+    check(
+        "fused fullrank+NLN scale diag", diag_err < 0.05,
+        f"max|err|={diag_err:.4f}",
+    )
+    check("fused fullrank+NLN offdiag", off_err < 0.05, f"max={off_err:.4f}")
+    alg = avt.KLMinRepGradDescent(entropy=avt.STL, n_samples=10)
+    e = -float(jax.device_get(alg.estimate_objective(
+        jax.random.key(9), q, prob.unconstrained(), 2**14
+    )))
+    check("fused fullrank+NLN ELBO~0", abs(e) < 0.02, f"elbo={e:+.4f}")
+
+    # (b) mean-field + logreg vs general path (flagship)
+    lg = make_logreg(jax.random.key(11), n_data=208, n_features=60)
+    target = lg.unconstrained()
+    dl = lg.dim
+    q0 = avt.MeanFieldGaussian(jnp.zeros(dl), 0.1 * jnp.ones(dl))
+    algl = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=10, optimizer=optax.adam(1e-3),
+        operator=avt.ClipScale(),
+    )
+    state = algl.init(jax.random.key(0, impl="rbg"), q0, target)
+
+    @jax.jit
+    def chunk(s):
+        def body(c, _):
+            s2, info = algl.step(c[0])
+            return (s2, info["elbo"]), None
+
+        (s2, el), _ = jax.lax.scan(
+            body, (s, jnp.zeros(())), None, length=10_000, unroll=8
+        )
+        return s2, el
+
+    for _ in range(3):
+        state, el = chunk(state)
+    _ = float(jax.device_get(el))
+    q_gen = algl.output(state)
+    e_gen = -float(jax.device_get(algl.estimate_objective(
+        jax.random.key(9), q_gen, target, 4096
+    )))
+
+    engl = FusedLogRegADVI(lg.X, lg.y, n_samples=10, lr=1e-3)
+    stl = engl.init(q0.location, q0.scale_diag)
+    stl = jax.jit(lambda s: engl.run_chunk(s, jax.random.key(5), 30_000))(stl)
+    q_f = engl.q(stl)
+    e_f = -float(jax.device_get(algl.estimate_objective(
+        jax.random.key(9), q_f, target, 4096
+    )))
+    check(
+        "fused meanfield+logreg ELBO parity", abs(e_f - e_gen) < 0.2,
+        f"fused={e_f:.4f} general={e_gen:.4f}",
+    )
+
+    # (c) full-rank + logreg: fused vs general on the same eval estimator
+    qf0 = avt.FullRankGaussian(jnp.zeros(dl), 0.1 * jnp.eye(dl))
+    statef = algl.init(jax.random.key(0, impl="rbg"), qf0, target)
+
+    @jax.jit
+    def chunkf(s):
+        def body(c, _):
+            s2, info = algl.step(c[0])
+            return (s2, info["elbo"]), None
+
+        (s2, el), _ = jax.lax.scan(
+            body, (s, jnp.zeros(())), None, length=5_000, unroll=4
+        )
+        return s2, el
+
+    for _ in range(4):
+        statef, elf = chunkf(statef)
+    _ = float(jax.device_get(elf))
+    q_genf = algl.output(statef)
+    e_genf = -float(jax.device_get(algl.estimate_objective(
+        jax.random.key(9), q_genf, target, 4096
+    )))
+    engf = FusedADVI(
+        logreg_spec(lg.X, lg.y), family=FULLRANK, n_samples=10, lr=1e-3
+    )
+    stf = engf.init(qf0.location, qf0.scale)
+    run = jax.jit(lambda s: engf.run_chunk(s, jax.random.key(5), 20_000))
+    stf = run(stf)
+    q_ff = engf.q(stf)
+    e_ff = -float(jax.device_get(algl.estimate_objective(
+        jax.random.key(9), q_ff, target, 4096
+    )))
+    check(
+        "fused fullrank+logreg ELBO parity", abs(e_ff - e_genf) < 0.3,
+        f"fused={e_ff:.4f} general={e_genf:.4f}",
+    )
+    return engf, stf, eng, st
+
+
+def throughput_layer(engf, stf, eng_nln, st_nln):
+    print("== layer 3: full-rank fused throughput ==", flush=True)
+    for tag, eng, st, steps in (
+        ("fullrank+logreg d=62", engf, stf, 20_000),
+        ("fullrank+NLN d=11", eng_nln, st_nln, 50_000),
+    ):
+        run = jax.jit(lambda s, e=eng, n=steps: e.run_chunk(
+            s, jax.random.key(1), n
+        ))
+        st = run(st)
+        _ = float(jax.device_get(st.elbo))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            st = run(st)
+            _ = float(jax.device_get(st.elbo))
+            best = min(best, time.time() - t0)
+        print(
+            f"{tag}: {steps/best:.0f} steps/s ({steps}-step chunks), "
+            f"elbo={float(st.elbo):.4f}",
+            flush=True,
+        )
+
+
+def main():
+    print(f"device: {jax.devices()[0]}", flush=True)
+    sampler_layer()
+    engf, stf, eng_nln, st_nln = fused_layer()
+    throughput_layer(engf, stf, eng_nln, st_nln)
+    if FAILURES:
+        print(f"FAILURES: {FAILURES}", flush=True)
+        return 1
+    print("ALL RNG VALIDATION CHECKS PASSED", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,6 +120,7 @@ from .subsampling import ReshufflingBatchSubsampling
 from .utils.checkpoint import restore_state, save_state
 from .utils.data import HostDataLoader, PrefetchingLoader, optimize_streamed
 from .utils.diagnostics import importance_diagnostics, pareto_khat
+from .utils.progress import ProgressMeter
 
 from . import ppl  # model-ingestion DSL + numpyro bridge (L8)
 

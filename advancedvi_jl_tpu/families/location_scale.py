@@ -43,6 +43,23 @@ def _solve_lower(C: jax.Array, B: jax.Array, trans: bool) -> jax.Array:
     return solve_triangular(C, B, lower=True, trans=1 if trans else 0)
 
 
+_SOLVE_MODES = ("solve", "inverse", "pallas")
+
+
+def _check_solve_mode(q) -> None:
+    """Validate solve_mode up-front on every solve path, so a typo'd mode
+    can never silently train on the XLA fallback (ADVICE r3)."""
+    if q.solve_mode not in _SOLVE_MODES:
+        raise ValueError(
+            f"solve_mode must be one of {_SOLVE_MODES}, got {q.solve_mode!r}"
+        )
+    if q.solve_mode == "pallas" and q.location.dtype != jnp.float32:
+        raise ValueError(
+            "solve_mode='pallas' requires float32 parameters "
+            f"(the kernel and its VJP are f32), got {q.location.dtype}"
+        )
+
+
 def _check_pallas_ok(q) -> None:
     if not isinstance(q.base, Normal):
         raise ValueError(
@@ -254,6 +271,7 @@ class FullRankLocationScale:
         return z, u
 
     def log_prob(self, z: jax.Array) -> jax.Array:
+        _check_solve_mode(self)
         C = self.tril_scale()
         # Batched triangular solve: the STL hot path `scale \ (z - location)`
         # (reference: location_scale.jl:59-63), batched over samples.
@@ -286,6 +304,7 @@ class FullRankLocationScale:
         """C^{-T} applied to each row of (n, d) V: one transposed triangular
         solve (the only solve left on the fast STL path) — or, with
         solve_mode="inverse", one blocked inverse + one MXU matmul."""
+        _check_solve_mode(self)
         C = self.tril_scale()
         if self.solve_mode == "inverse":
             return V @ self._tril_inverse(C)
@@ -293,19 +312,9 @@ class FullRankLocationScale:
             from ..ops.pallas.trisolve_kernels import vdiv_c
 
             return vdiv_c(C, V)
-        if self.solve_mode not in ("solve", "pallas"):
-            raise ValueError(
-                f"solve_mode must be 'solve', 'inverse' or 'pallas', got "
-                f"{self.solve_mode!r}"
-            )
         return _solve_lower(C, V.T, trans=True).T
 
     def _tril_inverse(self, C: jax.Array) -> jax.Array:
-        if self.solve_mode not in ("solve", "inverse", "pallas"):
-            raise ValueError(
-                f"solve_mode must be 'solve', 'inverse' or 'pallas', got "
-                f"{self.solve_mode!r}"
-            )
         from ..ops.trinv import tril_inverse
 
         return tril_inverse(C)

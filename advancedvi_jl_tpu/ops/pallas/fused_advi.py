@@ -1,29 +1,42 @@
-"""Whole-loop fused ADVI engine for the flagship model (Pallas TPU).
+"""Whole-loop fused ADVI engines (Pallas TPU).
 
-The flagship benchmark step (mean-field ADVI + STL on hierarchical
-logistic regression, d=62, n_samples=10) is op-count-bound, not
-FLOP-bound: the XLA path compiles to ~12 fused kernels whose per-kernel
-dispatch (~1.3 us) is the measured ceiling (BENCH_NOTES "Headline
-profile"); the arithmetic itself is microseconds.  The TPU-native answer
-is to stop dispatching: this module runs the ENTIRE optimization loop —
-on-chip RNG, reparameterized draw, likelihood + hierarchical prior
-gradient (hand-derived), STL entropy correction, Adam, ClipScale, and
+Small-model ADVI steps are op-count-bound, not FLOP-bound: the XLA path
+compiles to ~12 fused kernels whose per-kernel dispatch (~1.3 us) is the
+measured ceiling (BENCH_NOTES "Headline profile"); the arithmetic itself
+is microseconds.  The TPU-native answer is to stop dispatching: this
+module runs the ENTIRE optimization loop — on-chip RNG, reparameterized
+draw, model gradient, STL entropy correction, Adam, ClipScale, and
 polynomial parameter averaging — inside ONE Pallas kernel, with a
 ``fori_loop`` over steps and all state resident in VMEM.  One dispatch
 per chunk of steps instead of ~12 per step.
 
+The engine is generic along two axes (round-4 generalization of the
+round-3 logreg special):
+
+- **model**: any target whose log-density gradient can be expressed as a
+  Pallas-inlinable ``FusedModelSpec`` — a factory emitting
+  ``fn(z) -> (logpi, grad)`` in plain jnp ops over the lane-padded sample
+  block, plus padded constant arrays (VMEM) and scalar hyperparameters
+  (SMEM).  Shipped models: hierarchical logistic regression
+  (``logreg_spec``) and diagonal-Gaussian targets (``gaussian_spec`` —
+  which is exactly the unconstrained normal-lognormal BASELINE model).
+- **family**: mean-field (diagonal scale) or full-rank (dense
+  lower-triangular scale).  The full-rank STL whitening C^{-T}u is an
+  in-kernel back-substitution unrolled over the d real rows; the scale
+  gradient tril(g_z^T u) is one MXU matmul.
+
 Semantics match ``KLMinRepGradDescent(entropy=STL, n_samples=n,
 optimizer=optax.adam(lr), operator=ClipScale())`` + ``PolynomialAveraging``
-on ``LogReg(...).unconstrained()`` exactly, EXCEPT the RNG stream: base
-normals come from the on-chip PRNG (Box–Muller, as the samplers in
-location_scale_kernels.py), not from the JAX key hierarchy.  The update
-math is pinned against the general path by injecting the general path's
-own base draws through the ``noise`` debug input and asserting the
-resulting states match (tests/test_fused_advi.py); the RNG path is
-validated statistically on hardware.
+exactly, EXCEPT the RNG stream: base normals come from the on-chip PRNG
+(Box-Muller, as the samplers in location_scale_kernels.py), not from the
+JAX key hierarchy.  The update math is pinned against the general path by
+injecting the general path's own base draws through the ``noise`` debug
+input and asserting the resulting states match (tests/test_fused_advi.py);
+the RNG path is validated statistically on hardware (BENCH_NOTES).
 
-Gradient derivation (model: models/logreg.py, bijector: Exp on sigma;
-theta = [beta (db), t], sigma = e^t, db = X.shape[1], s = prior_scale):
+Logreg gradient derivation (model: models/logreg.py, bijector: Exp on
+sigma; theta = [beta (db), t], sigma = e^t, db = X.shape[1],
+s = prior_scale):
 
     log pi(z) = likeadj * sum_j [y_j l_j - softplus(l_j)]   (l = X beta)
               - |beta|^2 e^{-2t} / 2 - db*t - t^2/(2 s^2)
@@ -31,10 +44,19 @@ theta = [beta (db), t], sigma = e^t, db = X.shape[1], s = prior_scale):
     d/dbeta   = likeadj * X^T (y - sigmoid(l)) - beta e^{-2t}
     d/dt      = |beta|^2 e^{-2t} - db - t/s^2
 
-STL: dL/dz_i = -(1/n) [grad log pi(z_i) + u_i / sigma_q]  (the entropy
-estimate -mean log q_stop(z) contributes -grad_z log q_stop = -u/sigma_q,
-so the bracket vanishes at q = pi: sticking-the-landing);
-dmu = sum_i dL/dz_i, dsig = sum_i dL/dz_i * u_i.
+Gaussian (normal-lognormal unconstrained; models/normallognormal.py,
+Exp bijector on y — the log-det-Jacobian +t cancels the LogNormal's -log y
+term, leaving a diagonal Gaussian in z = [t, x]):
+
+    log pi(z) = -sum_j (z_j - m_j)^2 v_j / 2 + const,  v = 1/stddev^2
+    grad      = -(z - m) * v
+
+STL: dL/dz_i = -(1/n) [grad log pi(z_i) + w_i],  w_i = whitened base draw
+(u_i / sigma_q mean-field; C^{-T} u_i full-rank) — the entropy estimate
+-mean log q_stop(z) contributes -grad_z log q_stop = w, so the bracket
+vanishes at q = pi (sticking the landing);
+dmu = sum_i dL/dz_i; dsig = sum_i dL/dz_i * u_i (mean-field);
+dC = tril(sum_i dL/dz_i u_i^T) (full-rank).
 
 No reference counterpart: the reference's hot loop is one Julia
 iteration per step (src/optimize.jl:40-77); this is the TPU-first
@@ -45,7 +67,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,17 +81,51 @@ N_PAD = 16      # sublane-padded sample count (n_samples <= 16)
 _L2PI = math.log(2.0 * math.pi)
 _GOLD = -1640531527  # int32 golden-ratio mix (as the samplers)
 
+MEANFIELD = "meanfield"
+FULLRANK = "fullrank"
+
+
+class FusedModelSpec(NamedTuple):
+    """A target model the fused engines can inline.
+
+    ``step_factory(static_cfg, masks, consts, scalars)`` is traced INSIDE
+    the Pallas kernel once (before the step loop, so it can hoist
+    transposes etc.) and must return ``fn(z) -> (logpi, grad)`` where z is
+    the (N_PAD, D_PAD) masked sample block (padding entries are exactly
+    0), logpi is (N_PAD, 1) and grad is (N_PAD, D_PAD).  Only jnp ops that
+    lower under Pallas TPU are allowed (elementwise, reductions,
+    jnp.dot).  ``masks`` is a ``Masks`` namespace; padded lanes of grad
+    need not be masked (the engine masks).
+    """
+
+    dim: int                            # real latent dimension d
+    consts: Tuple[jax.Array, ...]       # padded device arrays (VMEM)
+    scalars: jax.Array                  # (k,) f32 scalar params (SMEM)
+    step_factory: Callable              # static (hashable) factory
+    static_cfg: tuple                   # hashable per-model static config
+
+
+class Masks(NamedTuple):
+    lane: jax.Array     # (1, D_PAD) int32 lane iota
+    maskd: jax.Array    # (1, D_PAD) f32, 1.0 on the d real lanes
+    maskn: jax.Array    # (N_PAD, D_PAD) f32, 1.0 on the n real rows
+    d: int              # real latent dimension
+    n_samples: int
+
 
 class FusedADVIState(NamedTuple):
-    """Kernel-resident optimizer state, lane-padded to (1, 128).
+    """Kernel-resident optimizer state, lane-padded.
 
-    Padded entries are inert by construction: ``sig`` is 1.0 there (so
-    whitening never divides by zero) and every gradient is masked to the
-    real dimensions, so Adam moments stay exactly zero in the padding.
+    ``sig`` holds the family's scale parameter: the (1, D_PAD) diagonal
+    for mean-field, or the (D_PAD, D_PAD) dense lower-triangular factor
+    for full-rank (padded diagonal entries 1.0 so whitening stays
+    well-posed; Adam moments there are exactly zero because every
+    gradient is masked to the real dimensions — padding is inert by
+    construction).
     """
 
     mu: jax.Array        # (1, D_PAD) location
-    sig: jax.Array       # (1, D_PAD) scale diagonal
+    sig: jax.Array       # scale parameter (see above)
     m_mu: jax.Array      # Adam first moments
     v_mu: jax.Array      # Adam second moments
     m_sig: jax.Array
@@ -80,24 +136,53 @@ class FusedADVIState(NamedTuple):
     elbo: jax.Array      # () f32, last step's estimate
 
 
+def _backsub_ct(C, u, d, lane):
+    """v = C^{-T} u by back-substitution, unrolled over the d real rows.
+
+    C: (D_PAD, D_PAD) lower-triangular value (padded diag 1.0), u:
+    (N_PAD, D_PAD).  Solving C^T v = u row-by-row from j = d-1 down:
+    v_j = (u_j - sum_{k>j} C[k, j] v_k) / C[j, j]; after computing v_j,
+    its contribution C[j, :j] v_j is subtracted from the running
+    residual.  Row extraction and scatter use onehot lane masks (static
+    unrolled loop — d is a Python int), each iteration a handful of
+    (N_PAD, D_PAD) VPU ops; padded lanes stay exactly zero.
+    """
+    r = u
+    v = jnp.zeros_like(u)
+    for j in range(d - 1, -1, -1):
+        onehot = (lane == j).astype(jnp.float32)          # (1, D_PAD)
+        crow = C[j, :].reshape(1, D_PAD)                  # static row slice
+        cjj = jnp.sum(crow * onehot)
+        vj = jnp.sum(r * onehot, axis=1, keepdims=True) / cjj  # (N_PAD, 1)
+        v = v + vj * onehot
+        mask_lt = (lane < j).astype(jnp.float32)
+        r = r - vj * (crow * mask_lt)
+    return v
+
+
 def _kernel(
     # static
-    n_samples, n_data, db, steps, use_noise,
+    family, step_factory, static_cfg, n_consts, n_samples, d, steps,
+    use_noise,
     # refs
-    seed_ref, it0_ref, hyp_ref,
-    X_ref, y_ref, noise_ref,
-    mu_ref, sig_ref, mmu_ref, vmu_ref, msig_ref, vsig_ref,
-    amu_ref, asig_ref,
-    mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o, elbo_o,
+    *refs,
 ):
+    # ref layout: inputs [seed, it0, hyp, mscal, *consts, *state(8),
+    # noise?] then the 9 output refs
+    seed_ref, it0_ref, hyp_ref, mscal_ref = refs[:4]
+    const_refs = refs[4 : 4 + n_consts]
+    (mu_ref, sig_ref, mmu_ref, vmu_ref, msig_ref, vsig_ref, amu_ref,
+     asig_ref) = refs[4 + n_consts : 12 + n_consts]
+    noise_ref = refs[12 + n_consts] if use_noise else None
+    (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
+     elbo_o) = refs[-9:]
+
     lr = hyp_ref[0]
     b1 = hyp_ref[1]
     b2 = hyp_ref[2]
     eps = hyp_ref[3]
-    likeadj = hyp_ref[4]
-    s_prior = hyp_ref[5]
-    avg_eta = hyp_ref[6]
-    clip_eps = hyp_ref[7]
+    avg_eta = hyp_ref[4]
+    clip_eps = hyp_ref[5]
 
     it0 = it0_ref[0]
     if not use_noise:
@@ -106,23 +191,31 @@ def _kernel(
         # debug path so interpret mode never touches TPU RNG primitives.
         pltpu.prng_seed(seed_ref[0] + it0 * _GOLD, seed_ref[1])
 
-    data_pad = X_ref.shape[0]
-    # masks (f32): valid q dims j < db+1; beta dims j < db; data rows < n_data
+    # masks (f32): valid q dims j < d; sample rows < n_samples
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, D_PAD), 1)
-    maskd = (lane < db + 1).astype(jnp.float32)
-    maskb = (lane < db).astype(jnp.float32)
-    onehot_t = (lane == db).astype(jnp.float32)
-    dlane = jax.lax.broadcasted_iota(jnp.int32, (1, data_pad), 1)
-    maskdata = (dlane < n_data).astype(jnp.float32)
+    maskd = (lane < d).astype(jnp.float32)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (N_PAD, D_PAD), 0)
     maskn = (rowi < n_samples).astype(jnp.float32)
+    masks = Masks(lane=lane, maskd=maskd, maskn=maskn, d=d,
+                  n_samples=n_samples)
 
-    X = X_ref[:]          # (data_pad, D_PAD), padded cols/rows zero
-    Xt = X.T              # hoisted out of the step loop
-    y = y_ref[:]          # (1, data_pad)
+    consts = tuple(ref[:] for ref in const_refs)
+    model_fn = step_factory(static_cfg, masks, consts, mscal_ref)
+
+    if family == FULLRANK:
+        # lane/sublane iotas for the (D_PAD, D_PAD) scale block
+        ri = jax.lax.broadcasted_iota(jnp.int32, (D_PAD, D_PAD), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (D_PAD, D_PAD), 1)
+        tril_d = ((ri >= ci) & (ri < d) & (ci < d)).astype(jnp.float32)
+        eye = (ri == ci).astype(jnp.float32)
+        diag_d = eye * (ri < d).astype(jnp.float32)
+
     inv_n = 1.0 / n_samples
     ln_b1 = jnp.log(b1)
     ln_b2 = jnp.log(b2)
+    row_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (N_PAD, 1), 0) < n_samples
+    ).astype(jnp.float32)
 
     def body(i, carry):
         mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, _ = carry
@@ -134,51 +227,35 @@ def _kernel(
             u = _box_muller((N_PAD, D_PAD))
         u = u * maskn * maskd
 
-        z = mu + sig * u                      # (N_PAD, D_PAD)
-        beta = z * maskb
-        tcol = jnp.sum(z * onehot_t, axis=1, keepdims=True)   # (N_PAD, 1)
-        inv_sig2 = jnp.exp(-2.0 * tcol)
-        beta_sq = jnp.sum(beta * beta, axis=1, keepdims=True)
+        if family == MEANFIELD:
+            z = mu + sig * u                  # (N_PAD, D_PAD)
+            whiten = u / sig                  # padded sig = 1.0: inert
+            logdet = jnp.sum(jnp.log(sig) * maskd)
+        else:
+            # z = mu + u C^T: one MXU matmul over the sample block
+            z = mu + jnp.dot(u, sig.T, preferred_element_type=jnp.float32)
+            whiten = _backsub_ct(sig, u, d, lane)
+            diag = jnp.sum(sig * eye, axis=0, keepdims=True)  # (1, D_PAD)
+            # padded diag entries are 1.0 -> log contributes 0
+            logdet = jnp.sum(jnp.log(diag) * maskd)
 
-        logits = jnp.dot(
-            beta, Xt, preferred_element_type=jnp.float32
-        )                                     # (N_PAD, data_pad)
-        p = jax.nn.sigmoid(logits)
-        # stable softplus
-        sp = jnp.maximum(logits, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        loglike = jnp.sum((y * logits - sp) * maskdata, axis=1, keepdims=True)
+        logpi, grad_logpi = model_fn(z)
 
-        logpi = (
-            likeadj * loglike
-            - 0.5 * beta_sq * inv_sig2
-            - db * tcol
-            - tcol * tcol / (2.0 * s_prior * s_prior)
-            - jnp.log(s_prior)
-            - 0.5 * (db + 1) * _L2PI
-        )                                     # (N_PAD, 1)
-
-        # grad log pi
-        gl = likeadj * ((y - p) * maskdata)   # (N_PAD, data_pad)
-        gbeta = jnp.dot(gl, X, preferred_element_type=jnp.float32)
-        gt = beta_sq * inv_sig2 - db - tcol / (s_prior * s_prior)
-        grad_logpi = maskb * (gbeta - beta * inv_sig2) + onehot_t * gt
-
-        # STL: dL/dz = -(1/n)(grad_logpi + u / sigma_q); the bracket is the
+        # STL: dL/dz = -(1/n)(grad_logpi + whiten); the bracket is the
         # score mismatch and vanishes at q = pi (sticking the landing)
-        g_z = -inv_n * (grad_logpi + u / sig) * maskn * maskd
+        g_z = -inv_n * (grad_logpi + whiten) * maskn * maskd
         dmu = jnp.sum(g_z, axis=0, keepdims=True)             # (1, D_PAD)
-        dsig = jnp.sum(g_z * u, axis=0, keepdims=True)
+        if family == MEANFIELD:
+            dsig = jnp.sum(g_z * u, axis=0, keepdims=True)
+        else:
+            # dC[a, b] = sum_i g_z[i, a] u[i, b], lower-triangle only
+            dsig = tril_d * jnp.dot(
+                g_z.T, u, preferred_element_type=jnp.float32
+            )
 
         # ELBO estimate (info channel): energy + STL entropy value
-        row_valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (N_PAD, 1), 0) < n_samples
-        ).astype(jnp.float32)
         energy = inv_n * jnp.sum(logpi * row_valid)
-        ent = (
-            jnp.sum(jnp.log(sig) * maskd)
-            + inv_n * jnp.sum(0.5 * u * u)
-            + 0.5 * (db + 1) * _L2PI
-        )
+        ent = logdet + inv_n * jnp.sum(0.5 * u * u) + 0.5 * d * _L2PI
         elbo = energy + ent
 
         # Adam (optax.scale_by_adam semantics, count_inc = it + 1)
@@ -194,7 +271,12 @@ def _kernel(
 
         m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
         m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
-        sig = jnp.maximum(sig, clip_eps)      # ClipScale
+        if family == MEANFIELD:
+            sig = jnp.maximum(sig, clip_eps)  # ClipScale
+        else:
+            # ClipScale clamps the diagonal only (padded diag untouched:
+            # its Adam update is 0, so max(1.0, eps) = 1.0 is exact)
+            sig = sig + diag_d * (jnp.maximum(sig, clip_eps) - sig)
 
         # PolynomialAveraging: w = (eta + 1) / (t + eta), t = it + 1
         w = (avg_eta + 1.0) / (c + avg_eta)
@@ -225,29 +307,46 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_samples", "n_data", "db", "steps", "use_noise", "interpret"
+        "family", "step_factory", "static_cfg", "n_samples", "d", "steps",
+        "use_noise", "interpret",
     ),
 )
 def _run_chunk(
-    seed, it0, hyp, X_pad, y_pad, noise, state_arrays,
-    n_samples, n_data, db, steps, use_noise, interpret,
+    seed, it0, hyp, mscal, consts, noise, state_arrays,
+    family, step_factory, static_cfg, n_samples, d, steps, use_noise,
+    interpret,
 ):
-    data_pad = X_pad.shape[0]
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scale_shape = (
+        (1, D_PAD) if family == MEANFIELD else (D_PAD, D_PAD)
+    )
+    shapes = [(1, D_PAD), scale_shape] + [(1, D_PAD), (1, D_PAD)] + [
+        scale_shape, scale_shape,
+    ] + [(1, D_PAD), scale_shape]
     out_shape = tuple(
-        jax.ShapeDtypeStruct((1, D_PAD), jnp.float32) for _ in range(9)
-    )
+        jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes
+    ) + (jax.ShapeDtypeStruct((1, D_PAD), jnp.float32),)
     kernel = functools.partial(
-        _kernel, n_samples, n_data, db, steps, use_noise
+        _kernel, family, step_factory, static_cfg, len(consts), n_samples,
+        d, steps, use_noise,
     )
+    in_specs = (
+        [smem, smem, smem, smem]
+        + [vec] * len(consts)
+        + [vec] * 8
+        + ([vec] if use_noise else [])
+    )
+    operands = (seed, it0, hyp, mscal) + tuple(consts) + tuple(state_arrays)
+    if use_noise:
+        operands = operands + (noise,)
     return pl.pallas_call(
         kernel,
-        in_specs=[smem, smem, smem, vec, vec, vec] + [vec] * 8,
+        in_specs=in_specs,
         out_specs=tuple(vec for _ in range(9)),
         out_shape=out_shape,
         interpret=interpret,
-    )(seed, it0, hyp, X_pad, y_pad, noise, *state_arrays)
+    )(*operands)
 
 
 def _pad_lane(x, width=D_PAD, fill=0.0):
@@ -255,14 +354,307 @@ def _pad_lane(x, width=D_PAD, fill=0.0):
     return v.at[0, : x.shape[0]].set(x.astype(jnp.float32))
 
 
-class FusedLogRegADVI:
-    """Whole-loop fused engine: mean-field ADVI + STL + Adam + ClipScale +
-    polynomial averaging on the (unconstrained) hierarchical logreg target,
-    one Pallas dispatch per ``steps`` chunk.
+def _pad_tril(C, width=D_PAD):
+    """Pad a (d, d) lower-triangular factor to (width, width); the padded
+    diagonal is 1.0 (inert: gradients there are masked to zero)."""
+    d = C.shape[0]
+    out = jnp.eye(width, dtype=jnp.float32)
+    return out.at[:d, :d].set(jnp.tril(C.astype(jnp.float32)))
 
-    Drop-in for the flagship benchmark loop; see module docstring for the
-    exact general-path configuration it reproduces.
+
+# ---------------------------------------------------------------------------
+# Model specs
+# ---------------------------------------------------------------------------
+
+
+def _logreg_step_factory(static_cfg, masks, consts, mscal_ref):
+    n_data, db = static_cfg
+    X, y = consts                 # (data_pad, D_PAD), (1, data_pad)
+    likeadj = mscal_ref[0]
+    s_prior = mscal_ref[1]
+    data_pad = X.shape[0]
+    Xt = X.T                      # hoisted out of the step loop
+    lane = masks.lane
+    maskb = (lane < db).astype(jnp.float32)
+    onehot_t = (lane == db).astype(jnp.float32)
+    dlane = jax.lax.broadcasted_iota(jnp.int32, (1, data_pad), 1)
+    maskdata = (dlane < n_data).astype(jnp.float32)
+
+    def fn(z):
+        beta = z * maskb
+        tcol = jnp.sum(z * onehot_t, axis=1, keepdims=True)   # (N_PAD, 1)
+        inv_sig2 = jnp.exp(-2.0 * tcol)
+        beta_sq = jnp.sum(beta * beta, axis=1, keepdims=True)
+
+        logits = jnp.dot(
+            beta, Xt, preferred_element_type=jnp.float32
+        )                                     # (N_PAD, data_pad)
+        p = jax.nn.sigmoid(logits)
+        # stable softplus
+        sp = jnp.maximum(logits, 0.0) + jnp.log1p(
+            jnp.exp(-jnp.abs(logits))
+        )
+        loglike = jnp.sum(
+            (y * logits - sp) * maskdata, axis=1, keepdims=True
+        )
+
+        logpi = (
+            likeadj * loglike
+            - 0.5 * beta_sq * inv_sig2
+            - db * tcol
+            - tcol * tcol / (2.0 * s_prior * s_prior)
+            - jnp.log(s_prior)
+            - 0.5 * (db + 1) * _L2PI
+        )                                     # (N_PAD, 1)
+
+        gl = likeadj * ((y - p) * maskdata)   # (N_PAD, data_pad)
+        gbeta = jnp.dot(gl, X, preferred_element_type=jnp.float32)
+        gt = beta_sq * inv_sig2 - db - tcol / (s_prior * s_prior)
+        grad = maskb * (gbeta - beta * inv_sig2) + onehot_t * gt
+        return logpi, grad
+
+    return fn
+
+
+def logreg_spec(
+    X: jax.Array,
+    y: jax.Array,
+    prior_scale: float = 3.0,
+    likeadj: float = 1.0,
+) -> FusedModelSpec:
+    """Hierarchical logistic regression (models/logreg.py, Exp bijector on
+    sigma) as a fused-engine model; gradient derivation in the module
+    docstring."""
+    n_data, db = X.shape
+    if db + 1 > D_PAD:
+        raise ValueError(
+            f"fused engine supports dim <= {D_PAD}, got {db + 1}"
+        )
+    data_pad = -(-n_data // 256) * 256
+    X_pad = jnp.zeros((data_pad, D_PAD), jnp.float32).at[:n_data, :db].set(
+        X.astype(jnp.float32)
+    )
+    y_pad = jnp.zeros((1, data_pad), jnp.float32).at[0, :n_data].set(
+        y.astype(jnp.float32)
+    )
+    return FusedModelSpec(
+        dim=db + 1,
+        consts=(X_pad, y_pad),
+        scalars=jnp.array([likeadj, prior_scale], jnp.float32),
+        step_factory=_logreg_step_factory,
+        static_cfg=(n_data, db),
+    )
+
+
+def _gaussian_step_factory(static_cfg, masks, consts, mscal_ref):
+    (d,) = static_cfg
+    m, inv_var = consts           # (1, D_PAD) each; inv_var padded 0
+    lognorm = mscal_ref[0]
+
+    def fn(z):
+        diff = z - m              # padded m = 0 and padded z = 0: inert
+        logpi = (
+            -0.5 * jnp.sum(diff * diff * inv_var, axis=1, keepdims=True)
+            + lognorm
+        )
+        grad = -diff * inv_var
+        return logpi, grad
+
+    return fn
+
+
+def gaussian_spec(mean: jax.Array, stddev: jax.Array) -> FusedModelSpec:
+    """Diagonal-Gaussian target as a fused-engine model.
+
+    This is exactly the unconstrained normal-lognormal BASELINE model
+    (models/normallognormal.py): with the Exp bijector on y, the
+    log-det-Jacobian +t cancels the LogNormal's -log y, leaving
+    N([mu_y, mu_x], diag([sigma_y, sigma_x])^2) in z = [t, x].
     """
+    mean = jnp.asarray(mean, jnp.float32)
+    stddev = jnp.asarray(stddev, jnp.float32)
+    d = mean.shape[0]
+    if d > D_PAD:
+        raise ValueError(f"fused engine supports dim <= {D_PAD}, got {d}")
+    lognorm = float(
+        -jnp.sum(jnp.log(stddev)) - 0.5 * d * _L2PI
+    )
+    return FusedModelSpec(
+        dim=d,
+        consts=(_pad_lane(mean), _pad_lane(1.0 / (stddev * stddev))),
+        scalars=jnp.array([lognorm], jnp.float32),
+        step_factory=_gaussian_step_factory,
+        static_cfg=(d,),
+    )
+
+
+def normallognormal_spec(prob) -> FusedModelSpec:
+    """FusedModelSpec for a models.normallognormal.NormalLogNormal target
+    (its unconstrained density is a diagonal Gaussian; see gaussian_spec)."""
+    mean = jnp.concatenate([prob.mu_y[None], prob.mu_x])
+    stddev = jnp.concatenate([prob.sigma_y[None], prob.sigma_x])
+    return gaussian_spec(mean, stddev)
+
+
+# ---------------------------------------------------------------------------
+# Engines
+# ---------------------------------------------------------------------------
+
+
+class FusedADVI:
+    """Whole-loop fused engine: {mean-field, full-rank} ADVI + STL + Adam +
+    ClipScale + polynomial averaging on any ``FusedModelSpec`` target, one
+    Pallas dispatch per ``steps`` chunk.
+
+    Reproduces ``KLMinRepGradDescent(entropy=STL, n_samples, optimizer=
+    optax.adam(lr), operator=ClipScale())`` with ``PolynomialAveraging``
+    (see module docstring for the RNG-stream caveat).
+    """
+
+    def __init__(
+        self,
+        model: FusedModelSpec,
+        family: str = MEANFIELD,
+        n_samples: int = 10,
+        lr: float = 1e-3,
+        b1: float = 0.9,
+        b2: float = 0.999,
+        eps: float = 1e-8,
+        avg_eta: float = 8.0,
+        clip_eps: float = 1e-5,
+        interpret: bool = False,
+    ):
+        if family not in (MEANFIELD, FULLRANK):
+            raise ValueError(
+                f"family must be '{MEANFIELD}' or '{FULLRANK}', got "
+                f"{family!r}"
+            )
+        if n_samples > N_PAD:
+            raise ValueError(
+                f"fused engine supports n_samples <= {N_PAD}, got {n_samples}"
+            )
+        if model.dim > D_PAD:
+            raise ValueError(
+                f"fused engine supports dim <= {D_PAD}, got {model.dim}"
+            )
+        self.model = model
+        self.family = family
+        self.dim = model.dim
+        self.n_samples = n_samples
+        self.lr, self.b1, self.b2, self.eps = lr, b1, b2, eps
+        self.avg_eta, self.clip_eps = avg_eta, clip_eps
+        self.hyp = jnp.array(
+            [lr, b1, b2, eps, avg_eta, clip_eps], jnp.float32
+        )
+        self.interpret = interpret
+
+    def _scale_zeros(self):
+        if self.family == MEANFIELD:
+            return jnp.zeros((1, D_PAD), jnp.float32)
+        return jnp.zeros((D_PAD, D_PAD), jnp.float32)
+
+    def init(self, location: jax.Array, scale: jax.Array) -> FusedADVIState:
+        """``scale``: the (d,) diagonal (mean-field) or (d, d)
+        lower-triangular factor (full-rank)."""
+        d = self.dim
+        if location.shape != (d,):
+            raise ValueError(f"expected ({d},) location, got {location.shape}")
+        mu = _pad_lane(location)
+        if self.family == MEANFIELD:
+            if scale.shape != (d,):
+                raise ValueError(
+                    f"expected ({d},) scale_diag, got {scale.shape}"
+                )
+            sig = _pad_lane(scale, fill=1.0)  # padded lanes 1.0: inert
+        else:
+            if scale.shape != (d, d):
+                raise ValueError(
+                    f"expected ({d}, {d}) tril scale, got {scale.shape}"
+                )
+            sig = _pad_tril(scale)
+        zeros = jnp.zeros((1, D_PAD), jnp.float32)
+        zeros_s = self._scale_zeros()
+        return FusedADVIState(
+            mu=mu, sig=sig,
+            m_mu=zeros, v_mu=zeros, m_sig=zeros_s, v_sig=zeros_s,
+            avg_mu=mu, avg_sig=sig,
+            iteration=jnp.asarray(0, jnp.int32),
+            elbo=jnp.float32(0.0),
+        )
+
+    def run_chunk(
+        self,
+        state: FusedADVIState,
+        key: jax.Array,
+        steps: int,
+        noise: Optional[jax.Array] = None,
+    ) -> FusedADVIState:
+        """Advance ``steps`` iterations in one kernel dispatch.
+
+        ``noise``: optional (steps * N_PAD, D_PAD) pre-drawn base normals
+        (debug/parity path; replaces the on-chip RNG).
+
+        RNG-stream caveat (ADVICE r3): in RNG mode the stream is
+        CHUNK-dependent — the seed folds in the starting iteration once
+        per chunk and bits are then consumed sequentially, so
+        ``run_chunk(100k)`` and ``run_chunk(50k)`` twice draw different
+        noise (equally valid streams), and checkpoint resume is NOT
+        bitwise-identical here, unlike the library-wide PRNG invariant
+        (per-step fold_in).  The noise-injection path IS chunk-associative
+        (tests/test_fused_advi.py).
+        """
+        use_noise = noise is not None
+        if use_noise:
+            expect = (steps * N_PAD, D_PAD)
+            if noise.shape != expect:
+                raise ValueError(
+                    f"noise must have shape {expect} for steps={steps}, "
+                    f"got {noise.shape}"
+                )
+        else:
+            noise = jnp.zeros((N_PAD, D_PAD), jnp.float32)
+        seed = key_to_seed(key)
+        it0 = state.iteration.reshape(1)
+        arrays = (
+            state.mu, state.sig, state.m_mu, state.v_mu,
+            state.m_sig, state.v_sig, state.avg_mu, state.avg_sig,
+        )
+        out = _run_chunk(
+            seed, it0, self.hyp, self.model.scalars, tuple(self.model.consts),
+            noise, arrays,
+            family=self.family, step_factory=self.model.step_factory,
+            static_cfg=self.model.static_cfg, n_samples=self.n_samples,
+            d=self.dim, steps=steps, use_noise=use_noise,
+            interpret=self.interpret,
+        )
+        return FusedADVIState(
+            mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
+            m_sig=out[4], v_sig=out[5], avg_mu=out[6], avg_sig=out[7],
+            iteration=state.iteration + steps,
+            elbo=out[8][0, 0],
+        )
+
+    # -- output in library types ------------------------------------------
+
+    def q(self, state: FusedADVIState, averaged: bool = True):
+        """Current variational family (averaged parameters by default,
+        matching ``ParamSpaceSGD.output``)."""
+        from ...families.location_scale import (
+            FullRankGaussian,
+            MeanFieldGaussian,
+        )
+
+        mu = state.avg_mu if averaged else state.mu
+        sig = state.avg_sig if averaged else state.sig
+        d = self.dim
+        if self.family == MEANFIELD:
+            return MeanFieldGaussian(mu[0, :d], sig[0, :d])
+        return FullRankGaussian(mu[0, :d], sig[:d, :d])
+
+
+class FusedLogRegADVI(FusedADVI):
+    """Back-compat wrapper: the flagship-benchmark engine (mean-field ADVI
+    on hierarchical logreg).  See FusedADVI / logreg_spec."""
 
     def __init__(
         self,
@@ -279,87 +671,12 @@ class FusedLogRegADVI:
         clip_eps: float = 1e-5,
         interpret: bool = False,
     ):
-        n_data, db = X.shape
-        if db + 1 > D_PAD:
-            raise ValueError(
-                f"fused engine supports dim <= {D_PAD}, got {db + 1}"
-            )
-        if n_samples > N_PAD:
-            raise ValueError(
-                f"fused engine supports n_samples <= {N_PAD}, got {n_samples}"
-            )
-        data_pad = -(-n_data // 256) * 256
-        self.X_pad = jnp.zeros((data_pad, D_PAD), jnp.float32).at[
-            :n_data, :db
-        ].set(X.astype(jnp.float32))
-        self.y_pad = jnp.zeros((1, data_pad), jnp.float32).at[0, :n_data].set(
-            y.astype(jnp.float32)
+        super().__init__(
+            logreg_spec(X, y, prior_scale=prior_scale, likeadj=likeadj),
+            family=MEANFIELD,
+            n_samples=n_samples, lr=lr, b1=b1, b2=b2, eps=eps,
+            avg_eta=avg_eta, clip_eps=clip_eps, interpret=interpret,
         )
-        self.n_data = n_data
-        self.db = db
-        self.dim = db + 1
-        self.n_samples = n_samples
-        self.hyp = jnp.array(
-            [lr, b1, b2, eps, likeadj, prior_scale, avg_eta, clip_eps],
-            jnp.float32,
-        )
-        self.interpret = interpret
-
-    def init(self, location: jax.Array, scale_diag: jax.Array) -> FusedADVIState:
-        d = self.dim
-        if location.shape != (d,) or scale_diag.shape != (d,):
-            raise ValueError(f"expected ({d},) location/scale_diag")
-        zeros = jnp.zeros((1, D_PAD), jnp.float32)
-        mu = _pad_lane(location)
-        sig = _pad_lane(scale_diag, fill=1.0)  # padded lanes 1.0: inert
-        return FusedADVIState(
-            mu=mu, sig=sig,
-            m_mu=zeros, v_mu=zeros, m_sig=zeros, v_sig=zeros,
-            avg_mu=mu, avg_sig=sig,
-            iteration=jnp.asarray(0, jnp.int32),
-            elbo=jnp.float32(0.0),
-        )
-
-    def run_chunk(
-        self,
-        state: FusedADVIState,
-        key: jax.Array,
-        steps: int,
-        noise: Optional[jax.Array] = None,
-    ) -> FusedADVIState:
-        """Advance ``steps`` iterations in one kernel dispatch.
-
-        ``noise``: optional (steps * N_PAD, D_PAD) pre-drawn base normals
-        (debug/parity path; replaces the on-chip RNG)."""
-        use_noise = noise is not None
-        if not use_noise:
-            noise = jnp.zeros((N_PAD, D_PAD), jnp.float32)
-        seed = key_to_seed(key)
-        it0 = state.iteration.reshape(1)
-        arrays = (
-            state.mu, state.sig, state.m_mu, state.v_mu,
-            state.m_sig, state.v_sig, state.avg_mu, state.avg_sig,
-        )
-        out = _run_chunk(
-            seed, it0, self.hyp, self.X_pad, self.y_pad, noise, arrays,
-            n_samples=self.n_samples, n_data=self.n_data, db=self.db,
-            steps=steps, use_noise=use_noise, interpret=self.interpret,
-        )
-        return FusedADVIState(
-            mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
-            m_sig=out[4], v_sig=out[5], avg_mu=out[6], avg_sig=out[7],
-            iteration=state.iteration + steps,
-            elbo=out[8][0, 0],
-        )
-
-    # -- output in library types ------------------------------------------
-
-    def q(self, state: FusedADVIState, averaged: bool = True):
-        """Current variational family (averaged parameters by default,
-        matching ``ParamSpaceSGD.output``)."""
-        from ...families.location_scale import MeanFieldGaussian
-
-        mu = state.avg_mu if averaged else state.mu
-        sig = state.avg_sig if averaged else state.sig
-        d = self.dim
-        return MeanFieldGaussian(mu[0, :d], sig[0, :d])
+        # model scalars exposed for the bench-config drift test
+        self.likeadj = likeadj
+        self.prior_scale = prior_scale

@@ -152,13 +152,17 @@ def solve_right(
     """W = V @ C^{-1} (mode "C") or V @ C^{-T} (mode "CT"), V: (n, d).
 
     C must be lower-triangular (the wrapper does NOT mask).  Falls back to
-    XLA's triangular_solve when the shape gate fails.  Not differentiable
-    — the fast-entropy path calls it inside a custom VJP's backward; wrap
-    it yourself for forward-graph use.
+    XLA's triangular_solve when the shape gate fails or when either input
+    is not float32 (the kernel and its out_shape are f32-only; a silent
+    cast would return f32 cotangents for non-f32 primals through the
+    vdiv_* custom VJPs — ADVICE r3).  Not differentiable — the
+    fast-entropy path calls it inside a custom VJP's backward; wrap it
+    yourself for forward-graph use.
     """
     d = C.shape[0]
     block = _pick_block(d)
-    if block == 0 or V.ndim != 2:
+    f32 = C.dtype == jnp.float32 and V.dtype == jnp.float32
+    if block == 0 or V.ndim != 2 or not f32:
         trans = mode == "CT"
         # right division: (C^{-1 or -T} applied to rows) == solve on V^T
         return jax.lax.linalg.triangular_solve(

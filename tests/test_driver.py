@@ -138,3 +138,78 @@ def test_thinned_mode_chunk_not_multiple_of_log_every(key):
     )
     assert int(state.iteration) == 230
     assert [r["iteration"] for r in infos] == [50, 100, 150, 200, 230]
+
+
+# ---------------------------------------------------------------------------
+# Progress meter (reference parity: src/utils.jl:2-4, src/optimize.jl:52-54)
+# ---------------------------------------------------------------------------
+
+
+def test_progress_meter_merges_info_names():
+    """Every scalar info entry is rendered; control keys and vectors not."""
+    from io import StringIO
+
+    from advancedvi_jl_tpu.utils.progress import ProgressMeter
+
+    pm = ProgressMeter(100, stream=StringIO(), min_interval_s=0.0)
+    line = pm.render(
+        50,
+        {
+            "elbo": jnp.asarray(-1.5),
+            "epoch": 3,
+            "covweighted_fisher": np.float64(0.25),
+            "terminate": False,
+            "diverged": False,
+            "vec": np.zeros(3),
+        },
+    )
+    assert "elbo=-1.5" in line
+    assert "epoch=3" in line
+    assert "covweighted_fisher=0.25" in line
+    assert "terminate" not in line and "diverged" not in line
+    assert "vec" not in line
+    assert "50/100" in line and "it/s" in line
+
+
+def test_progress_scan_mode_streams(key):
+    from io import StringIO
+
+    from advancedvi_jl_tpu.utils.progress import ProgressMeter
+
+    target, mu, sd = normal_meanfield(jax.random.key(3), 4)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(4), jnp.ones(4))
+    buf = StringIO()
+    pm = ProgressMeter(200, stream=buf, min_interval_s=0.0)
+    out, infos, _ = avt.optimize(
+        key, _alg(), 200, target, q0, progress=pm
+    )
+    text = buf.getvalue()
+    # multiple chunked updates (driver picks ~20 chunks), final newline
+    assert text.count("\r") >= 10
+    assert "elbo=" in text and "200/200" in text
+    assert text.endswith("\n")
+    # the display must not change results vs a silent run
+    out2, infos2, _ = avt.optimize(key, _alg(), 200, target, q0)
+    np.testing.assert_array_equal(
+        np.asarray(out.location), np.asarray(out2.location)
+    )
+
+
+def test_progress_callback_mode_merges_extras(key):
+    from io import StringIO
+
+    from advancedvi_jl_tpu.utils.progress import ProgressMeter
+
+    target, mu, sd = normal_meanfield(jax.random.key(3), 4)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(4), jnp.ones(4))
+    buf = StringIO()
+    pm = ProgressMeter(10, stream=buf, min_interval_s=0.0)
+
+    def cb(iteration, state, info):
+        return {"my_metric": float(iteration) * 2.0}
+
+    avt.optimize(key, _alg(), 10, target, q0, callback=cb, progress=pm)
+    text = buf.getvalue()
+    assert "my_metric=" in text  # callback extras reach the display
+    assert "elbo=" in text
+    assert text.endswith("\n")

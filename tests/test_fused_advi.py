@@ -19,10 +19,16 @@ from numpy.testing import assert_allclose
 
 import advancedvi_jl_tpu as avt
 from advancedvi_jl_tpu.models.logreg import make_logreg
+from advancedvi_jl_tpu.models.normallognormal import make_normallognormal
 from advancedvi_jl_tpu.ops.pallas.fused_advi import (
     D_PAD,
+    FULLRANK,
     N_PAD,
+    FusedADVI,
     FusedLogRegADVI,
+    gaussian_spec,
+    logreg_spec,
+    normallognormal_spec,
 )
 
 T = 5
@@ -142,6 +148,157 @@ def test_fused_chunking_is_associative(flagship):
     assert f_split.iteration == T
 
 
+def _run_general(alg, state, steps, n_samples):
+    """General-path states + the exact base draws each step consumed."""
+    step = jax.jit(alg.step)
+    draws, infos = [], []
+    for _ in range(steps):
+        step_key = jax.random.fold_in(state.key, state.iteration)
+        _, u = state.q.sample_with_base(step_key, n_samples)
+        draws.append(np.asarray(u))
+        state, info = step(state)
+        infos.append(info)
+    return state, draws, infos
+
+
+def test_fused_fullrank_matches_general_path():
+    """Full-rank family x gaussian model (the unconstrained normal-
+    lognormal BASELINE config): injected-noise parity of the in-kernel
+    back-substitution whitening, tril scale gradient, Adam, diag
+    ClipScale, and averaging against the general path."""
+    prob, _, _ = make_normallognormal(jax.random.key(7), n_dims=10)
+    target = prob.unconstrained()
+    d = prob.dim
+    # non-trivial lower-triangular init so C^{-T}u exercises off-diagonals
+    C0 = 0.2 * jnp.eye(d) + 0.05 * jnp.tril(
+        jax.random.normal(jax.random.key(3), (d, d)), -1
+    )
+    q0 = avt.FullRankGaussian(0.3 * jnp.ones(d), C0)
+
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=N_SAMPLES,
+        optimizer=optax.adam(1e-3), operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    state, draws, infos = _run_general(alg, state, T, N_SAMPLES)
+
+    engine = FusedADVI(
+        normallognormal_spec(prob), family=FULLRANK,
+        n_samples=N_SAMPLES, lr=1e-3, interpret=True,
+    )
+    fstate = engine.init(q0.location, q0.scale)
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=T, noise=_pack_noise(draws)
+    )
+
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        fstate.sig[:d, :d], jnp.tril(state.q.scale), rtol=1e-5, atol=1e-6
+    )
+    q_avg = alg.output(state)
+    q_fused = engine.q(fstate)
+    assert_allclose(q_fused.location, q_avg.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        q_fused.scale, jnp.tril(q_avg.scale), rtol=1e-5, atol=1e-6
+    )
+    # Adam moments on the scale
+    adam_state = state.opt_state[0]
+    assert_allclose(
+        fstate.m_sig[:d, :d], jnp.tril(adam_state.mu.scale),
+        rtol=1e-5, atol=1e-7,
+    )
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+    # padding inert: upper triangle zero, padded diag 1.0, moments zero
+    assert np.all(np.asarray(jnp.triu(fstate.sig[:d, :d], 1)) == 0.0)
+    assert np.all(np.asarray(fstate.sig[d:, d:].diagonal()) == 1.0)
+    assert np.all(np.asarray(fstate.m_sig[d:, :]) == 0.0)
+
+
+def test_fused_fullrank_logreg_matches_general_path(flagship):
+    """Full-rank family x logreg model: the d=62 back-substitution and the
+    hand-derived likelihood gradient compose correctly."""
+    prob, target = flagship
+    d = prob.dim
+    q0 = avt.FullRankGaussian(jnp.zeros(d), 0.1 * jnp.eye(d))
+
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=N_SAMPLES,
+        optimizer=optax.adam(1e-3), operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    state, draws, infos = _run_general(alg, state, 3, N_SAMPLES)
+
+    engine = FusedADVI(
+        logreg_spec(prob.X, prob.y, prior_scale=prob.prior_scale,
+                    likeadj=float(prob.likeadj)),
+        family=FULLRANK, n_samples=N_SAMPLES, lr=1e-3, interpret=True,
+    )
+    fstate = engine.init(q0.location, q0.scale)
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=3, noise=_pack_noise(draws)
+    )
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        fstate.sig[:d, :d], jnp.tril(state.q.scale), rtol=1e-5, atol=1e-6
+    )
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_meanfield_gaussian_matches_general_path():
+    """Mean-field family x gaussian model parity."""
+    prob, _, _ = make_normallognormal(jax.random.key(5), n_dims=9)
+    target = prob.unconstrained()
+    d = prob.dim
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.2 * jnp.ones(d))
+
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=N_SAMPLES,
+        optimizer=optax.adam(1e-3), operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    state, draws, infos = _run_general(alg, state, T, N_SAMPLES)
+
+    engine = FusedADVI(
+        normallognormal_spec(prob), n_samples=N_SAMPLES, lr=1e-3,
+        interpret=True,
+    )
+    fstate = engine.init(q0.location, q0.scale_diag)
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=T, noise=_pack_noise(draws)
+    )
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        fstate.sig[0, :d], state.q.scale_diag, rtol=1e-5, atol=1e-6
+    )
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_noise_shape_validated(flagship):
+    prob, _ = flagship
+    eng = FusedLogRegADVI(prob.X, prob.y, interpret=True)
+    st = eng.init(jnp.zeros(prob.dim), 0.1 * jnp.ones(prob.dim))
+    with pytest.raises(ValueError, match="noise"):
+        eng.run_chunk(
+            st, jax.random.key(0), steps=4,
+            noise=jnp.zeros((3 * N_PAD, D_PAD)),
+        )
+
+
+def test_gaussian_spec_rejects_large_dim():
+    with pytest.raises(ValueError, match="dim"):
+        gaussian_spec(jnp.zeros(200), jnp.ones(200))
+    with pytest.raises(ValueError, match="family"):
+        FusedADVI(
+            gaussian_spec(jnp.zeros(4), jnp.ones(4)), family="lowrank"
+        )
+
+
 def test_bench_config_matches_engine_defaults(flagship):
     """The bench A/B stays honest: bench.py's workload config and the fused
     engine's hyperparameter defaults are pinned to the general-path
@@ -161,9 +318,7 @@ def test_bench_config_matches_engine_defaults(flagship):
         prob.X, prob.y,
         n_samples=BENCH_CONFIG["n_samples"], lr=BENCH_CONFIG["lr"],
     )
-    lr, b1, b2, eps, likeadj, prior_scale, avg_eta, clip_eps = np.asarray(
-        eng.hyp
-    )
+    lr, b1, b2, eps, avg_eta, clip_eps = np.asarray(eng.hyp)
     # the general path bench.py times: adam(lr) + ClipScale() + polynomial
     # averaging on LogReg(prior_scale=3) with likeadj=1
     assert lr == np.float32(BENCH_CONFIG["lr"])
@@ -174,6 +329,7 @@ def test_bench_config_matches_engine_defaults(flagship):
     from advancedvi_jl_tpu.optim.averaging import PolynomialAveraging
 
     assert avg_eta == np.float32(PolynomialAveraging().eta)
+    likeadj, prior_scale = np.asarray(eng.model.scalars)
     assert prior_scale == np.float32(prob.prior_scale)
     assert likeadj == np.float32(prob.likeadj)
     assert eng.n_samples == BENCH_CONFIG["n_samples"]
