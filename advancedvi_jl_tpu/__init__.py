@@ -121,6 +121,12 @@ from .utils.checkpoint import restore_state, save_state
 from .utils.data import HostDataLoader, PrefetchingLoader, optimize_streamed
 from .utils.diagnostics import importance_diagnostics, pareto_khat
 from .utils.progress import ProgressMeter
+from .ops.pallas.fused_advi import (  # whole-loop fused engines (TPU)
+    FusedADVI,
+    FusedLogRegADVI,
+    FusedModelSpec,
+    fused_spec_for,
+)
 
 from . import ppl  # model-ingestion DSL + numpyro bridge (L8)
 

@@ -170,7 +170,14 @@ class ParamSpaceSGD:
         objective (reference: common.jl:29-38; ``entropy`` overrides the
         evaluation estimator like the reference kwarg).  Families without a
         ``log_prob`` (e.g. flows, which track density only along the sampling
-        path) fall back to the training objective's own estimator."""
+        path) fall back to the training objective's own estimator.
+
+        Subsampling note (same contract as the reference): this evaluates on
+        whatever ``prob`` the caller passes — it does NOT recover the
+        training objective's subsampling wrapper.  For the epoch-swept
+        minibatch average of the full objective, call
+        ``SubsampledObjective.estimate_objective`` on the training objective
+        itself."""
         n = n_samples if n_samples is not None else self.objective.n_samples
         if not hasattr(q, "log_prob"):
             return self.objective.estimate_objective(key, q, prob, n)

@@ -163,19 +163,23 @@ def _backsub_ct(C, u, d, lane):
 def _kernel(
     # static
     family, step_factory, static_cfg, n_consts, n_samples, d, steps,
-    use_noise,
+    use_noise, log_every,
     # refs
     *refs,
 ):
     # ref layout: inputs [seed, it0, hyp, mscal, *consts, *state(8),
-    # noise?] then the 9 output refs
+    # noise?] then the 9 (+1 if tracing) output refs
     seed_ref, it0_ref, hyp_ref, mscal_ref = refs[:4]
     const_refs = refs[4 : 4 + n_consts]
     (mu_ref, sig_ref, mmu_ref, vmu_ref, msig_ref, vsig_ref, amu_ref,
      asig_ref) = refs[4 + n_consts : 12 + n_consts]
     noise_ref = refs[12 + n_consts] if use_noise else None
-    (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
-     elbo_o) = refs[-9:]
+    if log_every:
+        (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
+         elbo_o, trace_o) = refs[-10:]
+    else:
+        (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
+         elbo_o) = refs[-9:]
 
     lr = hyp_ref[0]
     b1 = hyp_ref[1]
@@ -283,8 +287,18 @@ def _kernel(
         a_mu = (1.0 - w) * a_mu + w * mu
         a_sig = (1.0 - w) * a_sig + w * sig
 
+        if log_every:
+            # thinned on-device ELBO trace: one row per log_every steps
+            # (the driver's log_every contract without any host syncs)
+            @pl.when((i + 1) % log_every == 0)
+            def _store():
+                g = (i + 1) // log_every - 1
+                trace_o[pl.ds(g, 1), :] = jnp.full((1, D_PAD), elbo)
+
         return (mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo)
 
+    if log_every:
+        trace_o[:] = jnp.zeros(trace_o.shape, jnp.float32)
     init = (
         mu_ref[:], sig_ref[:], mmu_ref[:], vmu_ref[:],
         msig_ref[:], vsig_ref[:], amu_ref[:], asig_ref[:],
@@ -308,13 +322,13 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "family", "step_factory", "static_cfg", "n_samples", "d", "steps",
-        "use_noise", "interpret",
+        "use_noise", "interpret", "log_every",
     ),
 )
 def _run_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     family, step_factory, static_cfg, n_samples, d, steps, use_noise,
-    interpret,
+    interpret, log_every=0,
 ):
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -327,9 +341,18 @@ def _run_chunk(
     out_shape = tuple(
         jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes
     ) + (jax.ShapeDtypeStruct((1, D_PAD), jnp.float32),)
+    n_out = 9
+    if log_every:
+        # thinned elbo trace, rows padded to a sublane multiple
+        g = steps // log_every
+        g_pad = max(8, -(-g // 8) * 8)
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((g_pad, D_PAD), jnp.float32),
+        )
+        n_out = 10
     kernel = functools.partial(
         _kernel, family, step_factory, static_cfg, len(consts), n_samples,
-        d, steps, use_noise,
+        d, steps, use_noise, log_every,
     )
     in_specs = (
         [smem, smem, smem, smem]
@@ -343,7 +366,7 @@ def _run_chunk(
     return pl.pallas_call(
         kernel,
         in_specs=in_specs,
-        out_specs=tuple(vec for _ in range(9)),
+        out_specs=tuple(vec for _ in range(n_out)),
         out_shape=out_shape,
         interpret=interpret,
     )(*operands)
@@ -496,6 +519,88 @@ def normallognormal_spec(prob) -> FusedModelSpec:
     return gaussian_spec(mean, stddev)
 
 
+def _mvnormal_step_factory(static_cfg, masks, consts, mscal_ref):
+    m, prec = consts              # (1, D_PAD), (D_PAD, D_PAD); padding zero
+    lognorm = mscal_ref[0]
+
+    def fn(z):
+        diff = z - m
+        # grad = -Prec diff; Prec symmetric -> one (N, D) x (D, D) matmul
+        grad = -jnp.dot(diff, prec, preferred_element_type=jnp.float32)
+        logpi = 0.5 * jnp.sum(diff * grad, axis=1, keepdims=True) + lognorm
+        return logpi, grad
+
+    return fn
+
+
+def mvnormal_spec(mean: jax.Array, scale_tril: jax.Array) -> FusedModelSpec:
+    """Dense-covariance Gaussian target N(mean, L L^T) (models/normal.py
+    NormalTarget) as a fused-engine model: the precision is precomputed
+    once, so the in-kernel gradient is one MXU matmul."""
+    mean = jnp.asarray(mean, jnp.float32)
+    L = jnp.asarray(scale_tril, jnp.float32)
+    d = mean.shape[0]
+    if d > D_PAD:
+        raise ValueError(f"fused engine supports dim <= {D_PAD}, got {d}")
+    from jax.scipy.linalg import solve_triangular
+
+    Linv = solve_triangular(L, jnp.eye(d, dtype=jnp.float32), lower=True)
+    prec = Linv.T @ Linv
+    prec_pad = jnp.zeros((D_PAD, D_PAD), jnp.float32).at[:d, :d].set(prec)
+    lognorm = float(
+        -jnp.sum(jnp.log(jnp.abs(jnp.diag(L)))) - 0.5 * d * _L2PI
+    )
+    return FusedModelSpec(
+        dim=d,
+        consts=(_pad_lane(mean), prec_pad),
+        scalars=jnp.array([lognorm], jnp.float32),
+        step_factory=_mvnormal_step_factory,
+        static_cfg=(d,),
+    )
+
+
+def fused_spec_for(target) -> FusedModelSpec:
+    """Registry: build the FusedModelSpec for a supported target, raising
+    ValueError (with the reason) for anything else.
+
+    Supported: ``TransformedTarget`` over models.logreg.LogReg or
+    models.normallognormal.NormalLogNormal (i.e. ``model.unconstrained()``
+    — the engine works in unconstrained space), and models.normal.
+    NormalTarget directly.  Any other model can opt in by constructing a
+    FusedModelSpec by hand (see the shipped factories).
+    """
+    from ...core.transforms import TransformedTarget
+    from ...models.logreg import LogReg
+    from ...models.normal import NormalTarget
+    from ...models.normallognormal import NormalLogNormal
+
+    if isinstance(target, NormalTarget):
+        return mvnormal_spec(target.mu, target.scale_tril)
+    if isinstance(target, TransformedTarget):
+        inner = target.prob
+        if isinstance(inner, LogReg):
+            return logreg_spec(
+                inner.X, inner.y,
+                prior_scale=inner.prior_scale,
+                likeadj=float(inner.likeadj),
+            )
+        if isinstance(inner, NormalLogNormal):
+            return normallognormal_spec(inner)
+        raise ValueError(
+            "no fused model spec registered for TransformedTarget over "
+            f"{type(inner).__name__}; construct a FusedModelSpec directly"
+        )
+    if isinstance(target, (LogReg, NormalLogNormal)):
+        raise ValueError(
+            f"{type(target).__name__} is constrained-space; the fused "
+            "engine works on target.unconstrained()"
+        )
+    raise ValueError(
+        f"no fused model spec registered for {type(target).__name__}; "
+        "construct a FusedModelSpec directly"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Engines
 # ---------------------------------------------------------------------------
@@ -603,6 +708,26 @@ class FusedADVI:
         (per-step fold_in).  The noise-injection path IS chunk-associative
         (tests/test_fused_advi.py).
         """
+        state, _ = self._run(state, key, steps, noise, 0)
+        return state
+
+    def run_chunk_traced(
+        self,
+        state: FusedADVIState,
+        key: jax.Array,
+        steps: int,
+        log_every: int,
+        noise: Optional[jax.Array] = None,
+    ):
+        """Like ``run_chunk`` but also returns the thinned on-device ELBO
+        trace: a ``(steps // log_every,)`` array holding the ELBO estimate
+        of every ``log_every``-th step (the driver's log_every contract,
+        recorded in-kernel — zero extra host syncs)."""
+        if log_every < 1:
+            raise ValueError(f"log_every must be >= 1, got {log_every}")
+        return self._run(state, key, steps, noise, log_every)
+
+    def _run(self, state, key, steps, noise, log_every):
         use_noise = noise is not None
         if use_noise:
             expect = (steps * N_PAD, D_PAD)
@@ -625,14 +750,108 @@ class FusedADVI:
             family=self.family, step_factory=self.model.step_factory,
             static_cfg=self.model.static_cfg, n_samples=self.n_samples,
             d=self.dim, steps=steps, use_noise=use_noise,
-            interpret=self.interpret,
+            interpret=self.interpret, log_every=log_every,
         )
-        return FusedADVIState(
+        new_state = FusedADVIState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
             m_sig=out[4], v_sig=out[5], avg_mu=out[6], avg_sig=out[7],
             iteration=state.iteration + steps,
             elbo=out[8][0, 0],
         )
+        trace = out[9][: steps // log_every, 0] if log_every else None
+        return new_state, trace
+
+    # -- driver with the library contract -----------------------------------
+
+    def optimize(
+        self,
+        key: jax.Array,
+        max_iter: int,
+        q_init=None,
+        *,
+        state: Optional[FusedADVIState] = None,
+        chunk_size: int = 50_000,
+        log_every: int = 100,
+        show_progress: bool = False,
+        progress=None,
+        check_divergence: bool = True,
+    ):
+        """Drive the fused engine with the ``optimize`` contract: returns
+        ``(q, infos, state)`` — averaged-parameter family, list of
+        ``{"iteration", "elbo"}`` rows on the log_every grid (recorded
+        IN-KERNEL, zero extra host syncs), warm-startable state.
+
+        ``q_init``: a MeanFieldGaussian (mean-field engine) or
+        FullRankGaussian (full-rank engine); or pass ``state=`` to warm
+        start.  Divergence is checked per recorded row, so the raise names
+        the first non-finite iteration at log_every granularity (the
+        general driver is exact-step; here exactness would cost a per-step
+        host channel).  RNG caveat: see run_chunk (stream is
+        chunk-layout-dependent).
+        """
+        import numpy as np
+
+        from ...optimize import DivergenceError
+
+        if state is None:
+            if q_init is None:
+                raise ValueError("pass q_init or state")
+            if self.family == MEANFIELD:
+                state = self.init(q_init.location, q_init.scale_diag)
+            else:
+                state = self.init(q_init.location, q_init.scale_matrix())
+        if progress is not None:
+            show_progress = True
+        if show_progress and progress is None:
+            from ...utils.progress import ProgressMeter
+
+            progress = ProgressMeter(max_iter)
+        chunk = max(log_every, (chunk_size // log_every) * log_every)
+        # bound the in-kernel trace buffer to (1024, 128) f32 = 512 KB VMEM
+        chunk = min(chunk, 1024 * log_every)
+        infos: list = []
+        done = int(state.iteration)
+        start = done
+        end = start + max_iter
+        while done < end:
+            n = min(chunk, end - done)
+            state, trace = self.run_chunk_traced(
+                state, key, steps=(n // log_every) * log_every or n,
+                log_every=min(log_every, n),
+            )
+            tr = np.asarray(jax.device_get(trace))
+            rem = n - (n // log_every) * log_every if n >= log_every else 0
+            for g, e in enumerate(tr):
+                row = {
+                    "elbo": float(e),
+                    "iteration": done + (g + 1) * min(log_every, n) - start,
+                }
+                infos.append(row)
+                if check_divergence and not np.isfinite(e):
+                    raise DivergenceError(
+                        "The objective became non-finite by iteration "
+                        f"{row['iteration']} (log_every={log_every} "
+                        "granularity). This indicates that the "
+                        "optimization diverged."
+                    )
+            done = int(state.iteration)
+            if rem:
+                state = self.run_chunk(state, key, steps=rem)
+                done = int(state.iteration)
+                infos.append({
+                    "elbo": float(jax.device_get(state.elbo)),
+                    "iteration": done - start,
+                })
+            if progress is not None and infos:
+                progress.update(done - start, infos[-1])
+        if infos and infos[-1]["iteration"] != max_iter:
+            infos.append({
+                "elbo": float(jax.device_get(state.elbo)),
+                "iteration": max_iter,
+            })
+        if progress is not None:
+            progress.close()
+        return self.q(state), infos, state
 
     # -- output in library types ------------------------------------------
 

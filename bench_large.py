@@ -164,16 +164,24 @@ def bench_fullrank_flopbound():
     from advancedvi_jl_tpu.models.normal import normal_fullrank_wellcond
 
     PEAK = 197e12  # v5e bf16 peak FLOP/s (MFU convention; f32 peak is lower)
+    HBM_GBPS = 819e9  # v5e HBM bandwidth (roofline's other axis)
 
     for d, n in ((1024, 256), (2048, 128)):
         target, mu, L = normal_fullrank_wellcond(jax.random.key(3), d)
         results = {}
-        for tag, (tgt, cdt, sm) in {
-            "baseline": (target, None, "solve"),
-            "optimized": (target.solve_free(), "bfloat16", "pallas"),
+        for tag, (tgt, cdt, sm, layout) in {
+            "baseline": (target, None, "solve", "dense"),
+            "optimized": (target.solve_free(), "bfloat16", "pallas", "dense"),
+            # packed halves the HBM bytes of every elementwise pass over
+            # the d^2 parameters; with the Pallas solve removing the old
+            # dependency-chain bottleneck, the step is closer to
+            # bandwidth-bound and the layout can pay (round-4 A/B)
+            "optimized_packed": (
+                target.solve_free(), "bfloat16", "solve", "packed"
+            ),
         }.items():
             q0 = avt.FullRankGaussian(
-                jnp.zeros(d), compute_dtype=cdt, solve_mode=sm
+                jnp.zeros(d), compute_dtype=cdt, solve_mode=sm, layout=layout
             )
             alg = avt.KLMinRepGradDescent(
                 entropy=avt.STL, n_samples=n, optimizer=optax.adam(1e-3),
@@ -181,14 +189,15 @@ def bench_fullrank_flopbound():
             )
             state = alg.init(jax.random.key(0, impl="rbg"), q0, tgt)
 
-            # FLOPs of ONE step from XLA's cost model
+            # FLOPs + HBM bytes of ONE step from XLA's cost model
             one = jax.jit(alg.step)
+            flops_per_step = bytes_per_step = None
             try:
-                flops_per_step = one.lower(state).compile().cost_analysis()[
-                    "flops"
-                ]
+                ca = one.lower(state).compile().cost_analysis()
+                flops_per_step = ca["flops"]
+                bytes_per_step = ca.get("bytes accessed")
             except Exception:
-                flops_per_step = None  # cost model unavailable (tunnel)
+                pass  # cost model unavailable (tunnel)
 
             sps, elbo = _time_chunk(alg, state, 100)
             results[tag] = (sps, elbo, flops_per_step)
@@ -204,24 +213,38 @@ def bench_fullrank_flopbound():
                     tflops=round(tf, 2),
                     mfu_pct_vs_bf16peak=round(100 * tf * 1e12 / PEAK, 2),
                 )
+            if bytes_per_step is not None:
+                # achieved HBM bandwidth and the roofline it implies: the
+                # step cannot run faster than bytes/bandwidth no matter the
+                # FLOPs (the honest bound for this bytes/FLOP ratio)
+                gbps = bytes_per_step * sps / 1e9
+                roofline_sps = HBM_GBPS / bytes_per_step
+                row.update(
+                    bytes_per_step=bytes_per_step,
+                    achieved_hbm_gbps=round(gbps, 1),
+                    hbm_roofline_steps_per_s=round(roofline_sps, 1),
+                    pct_of_hbm_roofline=round(100 * sps / roofline_sps, 1),
+                )
             print(json.dumps(row))
-        speedup = results["optimized"][0] / results["baseline"][0]
         # trajectory parity: same step count from the same init; ELBOs are
         # both mid-descent, so compare on a coarse band
-        e_base, e_opt = results["baseline"][1], results["optimized"][1]
+        e_base = results["baseline"][1]
         denom = max(1.0, abs(e_base))
-        print(
-            json.dumps(
-                {
-                    "metric": f"fullrank_d{d}_n{n}_optimized_speedup",
-                    "value": round(speedup, 3),
-                    "unit": "x",
-                    "elbo_baseline": round(e_base, 3),
-                    "elbo_optimized": round(e_opt, 3),
-                    "elbo_rel_gap": round(abs(e_base - e_opt) / denom, 4),
-                }
+        for tag in ("optimized", "optimized_packed"):
+            speedup = results[tag][0] / results["baseline"][0]
+            e_opt = results[tag][1]
+            print(
+                json.dumps(
+                    {
+                        "metric": f"fullrank_d{d}_n{n}_{tag}_speedup",
+                        "value": round(speedup, 3),
+                        "unit": "x",
+                        "elbo_baseline": round(e_base, 3),
+                        "elbo_optimized": round(e_opt, 3),
+                        "elbo_rel_gap": round(abs(e_base - e_opt) / denom, 4),
+                    }
+                )
             )
-        )
 
 
 def bench_normallognormal_fullrank():

@@ -345,3 +345,141 @@ def test_fused_validation():
     eng = FusedLogRegADVI(jnp.zeros((8, 4)), jnp.zeros((8,)))
     with pytest.raises(ValueError, match="location"):
         eng.init(jnp.zeros(3), jnp.ones(3))
+
+
+def test_fused_trace_matches_general_elbos(flagship):
+    """run_chunk_traced's in-kernel thinned ELBO trace equals the general
+    path's per-step elbo at the log_every grid."""
+    prob, target = flagship
+    d = prob.dim
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    _, state, draws, infos = _run_general_path(target, q0, 6)
+
+    engine = FusedLogRegADVI(
+        prob.X, prob.y, n_samples=N_SAMPLES, lr=1e-3, interpret=True
+    )
+    fstate = engine.init(q0.location, q0.scale_diag)
+    fstate, trace = engine.run_chunk_traced(
+        fstate, jax.random.key(1), steps=6, log_every=2,
+        noise=_pack_noise(draws),
+    )
+    assert trace.shape == (3,)
+    want = [float(infos[i]["elbo"]) for i in (1, 3, 5)]
+    assert_allclose(np.asarray(trace), want, rtol=1e-4, atol=1e-4)
+    assert fstate.iteration == 6
+
+
+def test_fused_mvnormal_spec_matches_general_path():
+    """Dense-covariance Gaussian spec (one-matmul gradient) parity."""
+    from advancedvi_jl_tpu.models.normal import normal_fullrank
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import mvnormal_spec
+
+    target, mu, L = normal_fullrank(jax.random.key(2), 6)
+    d = 6
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.5 * jnp.ones(d))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=N_SAMPLES,
+        optimizer=optax.adam(1e-3), operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    state, draws, infos = _run_general(alg, state, T, N_SAMPLES)
+
+    engine = FusedADVI(
+        mvnormal_spec(target.mu, target.scale_tril),
+        n_samples=N_SAMPLES, lr=1e-3, interpret=True,
+    )
+    fstate = engine.run_chunk(
+        engine.init(q0.location, q0.scale_diag),
+        jax.random.key(1), steps=T, noise=_pack_noise(draws),
+    )
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        fstate.sig[0, :d], state.q.scale_diag, rtol=1e-5, atol=1e-6
+    )
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_spec_registry(flagship):
+    from advancedvi_jl_tpu.models.normal import normal_fullrank
+    from advancedvi_jl_tpu.models.normallognormal import make_normallognormal
+
+    prob, target = flagship
+    spec = avt.fused_spec_for(target)
+    assert spec.dim == prob.dim
+
+    nln, _, _ = make_normallognormal(jax.random.key(1), 4)
+    assert avt.fused_spec_for(nln.unconstrained()).dim == 5
+
+    nt, _, _ = normal_fullrank(jax.random.key(2), 6)
+    assert avt.fused_spec_for(nt).dim == 6
+
+    with pytest.raises(ValueError, match="unconstrained"):
+        avt.fused_spec_for(prob)  # constrained-space LogReg
+    with pytest.raises(ValueError, match="no fused model spec"):
+        avt.fused_spec_for(object())
+
+
+def test_fused_optimize_bookkeeping(flagship, monkeypatch):
+    """FusedADVI.optimize's driver-contract bookkeeping (rows on the
+    log_every grid, remainder row, divergence raise) — the kernel itself
+    is stubbed (its math is pinned by the parity tests; the RNG path is
+    hardware-only)."""
+    prob, _ = flagship
+    eng = FusedLogRegADVI(prob.X, prob.y, interpret=True)
+    d = prob.dim
+
+    def fake_traced(state, key, steps, log_every, noise=None):
+        g = steps // log_every
+        it = state.iteration + steps
+        new = state._replace(iteration=it, elbo=jnp.float32(-1.0))
+        return new, jnp.full((g,), -1.0, jnp.float32)
+
+    def fake_chunk(state, key, steps, noise=None):
+        return state._replace(
+            iteration=state.iteration + steps, elbo=jnp.float32(-1.0)
+        )
+
+    monkeypatch.setattr(eng, "run_chunk_traced", fake_traced)
+    monkeypatch.setattr(eng, "run_chunk", fake_chunk)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    q, infos, state = eng.optimize(
+        jax.random.key(0), 2_350, q0, chunk_size=1_000, log_every=100,
+    )
+    assert [r["iteration"] for r in infos] == (
+        list(range(100, 2_301, 100)) + [2_350]
+    )
+    assert int(state.iteration) == 2_350
+    assert q.location.shape == (d,)
+
+    # warm start continues the count, rows stay call-relative
+    q, infos2, state2 = eng.optimize(
+        jax.random.key(0), 200, state=state, chunk_size=1_000, log_every=100,
+    )
+    assert [r["iteration"] for r in infos2] == [100, 200]
+    assert int(state2.iteration) == 2_550
+
+    with pytest.raises(ValueError, match="q_init"):
+        eng.optimize(jax.random.key(0), 100)
+
+    # divergence raise names the first non-finite recorded row
+    def nan_traced(state, key, steps, log_every, noise=None):
+        g = steps // log_every
+        tr = np.full((g,), -1.0, np.float32)
+        if g >= 2:
+            tr[1] = np.nan
+        new = state._replace(
+            iteration=state.iteration + steps, elbo=jnp.float32(np.nan)
+        )
+        return new, jnp.asarray(tr)
+
+    monkeypatch.setattr(eng, "run_chunk_traced", nan_traced)
+    from advancedvi_jl_tpu.optimize import DivergenceError
+
+    eng2_state = eng.init(q0.location, q0.scale_diag)
+    with pytest.raises(DivergenceError, match="iteration 200"):
+        eng.optimize(
+            jax.random.key(0), 1_000, state=eng2_state,
+            chunk_size=1_000, log_every=100,
+        )
