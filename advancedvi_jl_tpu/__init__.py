@@ -126,6 +126,7 @@ from .ops.pallas.fused_advi import (  # whole-loop fused engines (TPU)
     FusedLogRegADVI,
     FusedModelSpec,
     fused_spec_for,
+    logreg_minibatch_spec,
 )
 
 from . import ppl  # model-ingestion DSL + numpyro bridge (L8)

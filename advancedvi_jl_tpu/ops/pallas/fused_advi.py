@@ -88,14 +88,23 @@ FULLRANK = "fullrank"
 class FusedModelSpec(NamedTuple):
     """A target model the fused engines can inline.
 
-    ``step_factory(static_cfg, masks, consts, scalars)`` is traced INSIDE
-    the Pallas kernel once (before the step loop, so it can hoist
-    transposes etc.) and must return ``fn(z) -> (logpi, grad)`` where z is
-    the (N_PAD, D_PAD) masked sample block (padding entries are exactly
-    0), logpi is (N_PAD, 1) and grad is (N_PAD, D_PAD).  Only jnp ops that
-    lower under Pallas TPU are allowed (elementwise, reductions,
-    jnp.dot).  ``masks`` is a ``Masks`` namespace; padded lanes of grad
-    need not be masked (the engine masks).
+    ``step_factory(static_cfg, masks, const_refs, scalars)`` is traced
+    INSIDE the Pallas kernel once (before the step loop, so it can load
+    constants and hoist transposes) and must return
+    ``fn(z, it) -> (logpi, grad)`` where z is the (N_PAD, D_PAD) masked
+    sample block (padding entries are exactly 0), ``it`` is the global
+    iteration index (int32 — minibatch models use it for their window
+    schedule), logpi is (N_PAD, 1) and grad is (N_PAD, D_PAD).
+    ``const_refs`` are the VMEM refs of ``consts`` — load whole with
+    ``ref[:]`` or per step with ``ref[pl.ds(start, rows)]`` (data
+    streaming).  Only jnp ops that lower under Pallas TPU are allowed
+    (elementwise, reductions, jnp.dot).  ``masks`` is a ``Masks``
+    namespace; padded lanes of grad need not be masked (the engine
+    masks).
+
+    ``reshuffle(key, consts) -> consts`` (optional): data-order
+    refresh; the fused driver calls it between chunks for minibatch
+    models (consts are traced inputs, so no recompilation).
     """
 
     dim: int                            # real latent dimension d
@@ -103,6 +112,7 @@ class FusedModelSpec(NamedTuple):
     scalars: jax.Array                  # (k,) f32 scalar params (SMEM)
     step_factory: Callable              # static (hashable) factory
     static_cfg: tuple                   # hashable per-model static config
+    reshuffle: Optional[Callable] = None  # (key, consts) -> consts
 
 
 class Masks(NamedTuple):
@@ -203,8 +213,7 @@ def _kernel(
     masks = Masks(lane=lane, maskd=maskd, maskn=maskn, d=d,
                   n_samples=n_samples)
 
-    consts = tuple(ref[:] for ref in const_refs)
-    model_fn = step_factory(static_cfg, masks, consts, mscal_ref)
+    model_fn = step_factory(static_cfg, masks, const_refs, mscal_ref)
 
     if family == FULLRANK:
         # lane/sublane iotas for the (D_PAD, D_PAD) scale block
@@ -243,7 +252,7 @@ def _kernel(
             # padded diag entries are 1.0 -> log contributes 0
             logdet = jnp.sum(jnp.log(diag) * maskd)
 
-        logpi, grad_logpi = model_fn(z)
+        logpi, grad_logpi = model_fn(z, it0 + i)
 
         # STL: dL/dz = -(1/n)(grad_logpi + whiten); the bracket is the
         # score mismatch and vanishes at q = pi (sticking the landing)
@@ -390,9 +399,10 @@ def _pad_tril(C, width=D_PAD):
 # ---------------------------------------------------------------------------
 
 
-def _logreg_step_factory(static_cfg, masks, consts, mscal_ref):
+def _logreg_step_factory(static_cfg, masks, const_refs, mscal_ref):
     n_data, db = static_cfg
-    X, y = consts                 # (data_pad, D_PAD), (1, data_pad)
+    X = const_refs[0][:]          # (data_pad, D_PAD)
+    y = const_refs[1][:]          # (1, data_pad)
     likeadj = mscal_ref[0]
     s_prior = mscal_ref[1]
     data_pad = X.shape[0]
@@ -436,7 +446,7 @@ def _logreg_step_factory(static_cfg, masks, consts, mscal_ref):
         grad = maskb * (gbeta - beta * inv_sig2) + onehot_t * gt
         return logpi, grad
 
-    return fn
+    return lambda z, it: fn(z)
 
 
 def logreg_spec(
@@ -469,12 +479,142 @@ def logreg_spec(
     )
 
 
-def _gaussian_step_factory(static_cfg, masks, consts, mscal_ref):
+def _logreg_mb_step_factory(static_cfg, masks, const_refs, mscal_ref):
+    db, B, nb = static_cfg
+    X_ref, yX_ref = const_refs    # (n_used, D_PAD), (nb_pad, D_PAD)
+    likeadj = mscal_ref[0]        # n_data / B (the subsample contract)
+    s_prior = mscal_ref[1]
+    lane = masks.lane
+    maskb = (lane < db).astype(jnp.float32)
+    onehot_t = (lane == db).astype(jnp.float32)
+    dn = (((1,), (1,)), ((), ()))  # contract on lanes, no batch dims
+
+    def fn(z, it):
+        k = jax.lax.rem(it, nb)
+        Xb = X_ref[pl.ds(k * B, B), :]        # minibatch slab from VMEM
+        yXb = yX_ref[pl.ds(k, 1), :]          # sum_j y_j X_j of this batch
+
+        beta = z * maskb
+        tcol = jnp.sum(z * onehot_t, axis=1, keepdims=True)
+        inv_sig2 = jnp.exp(-2.0 * tcol)
+        beta_sq = jnp.sum(beta * beta, axis=1, keepdims=True)
+
+        # logits without transposing the slab: contract lane dims
+        logits = jax.lax.dot_general(
+            beta, Xb, dn, preferred_element_type=jnp.float32
+        )                                     # (N_PAD, B)
+        p = jax.nn.sigmoid(logits)
+        sp = jnp.maximum(logits, 0.0) + jnp.log1p(
+            jnp.exp(-jnp.abs(logits))
+        )
+        # sum_j y_j logits_ij = beta . (sum_j y_j X_j): no y in-kernel
+        ylogit = jax.lax.dot_general(
+            beta, yXb, dn, preferred_element_type=jnp.float32
+        )                                     # (N_PAD, 1)
+        loglike = ylogit - jnp.sum(sp, axis=1, keepdims=True)
+
+        logpi = (
+            likeadj * loglike
+            - 0.5 * beta_sq * inv_sig2
+            - db * tcol
+            - tcol * tcol / (2.0 * s_prior * s_prior)
+            - jnp.log(s_prior)
+            - 0.5 * (db + 1) * _L2PI
+        )
+
+        gbeta = likeadj * (
+            yXb - jnp.dot(p, Xb, preferred_element_type=jnp.float32)
+        )
+        gt = beta_sq * inv_sig2 - db - tcol / (s_prior * s_prior)
+        grad = maskb * (gbeta - beta * inv_sig2) + onehot_t * gt
+        return logpi, grad
+
+    return fn
+
+
+def _pack_minibatch_consts(Xp, yp, B, db):
+    """(X_perm padded to lanes, per-batch sum_j y_j X_j rows)."""
+    n_used = Xp.shape[0]
+    nb = n_used // B
+    X_pad = jnp.zeros((n_used, D_PAD), jnp.float32).at[:, :db].set(
+        Xp.astype(jnp.float32)
+    )
+    yX = (yp.astype(jnp.float32)[:, None] * Xp.astype(jnp.float32)).reshape(
+        nb, B, -1
+    ).sum(axis=1)
+    nb_pad = -(-nb // 8) * 8
+    yX_pad = jnp.zeros((nb_pad, D_PAD), jnp.float32).at[:nb, :db].set(yX)
+    return (X_pad, yX_pad)
+
+
+def logreg_minibatch_spec(
+    X: jax.Array,
+    y: jax.Array,
+    batch_size: int,
+    prior_scale: float = 3.0,
+    key: Optional[jax.Array] = None,
+) -> FusedModelSpec:
+    """Doubly-stochastic hierarchical logreg as a fused-engine model.
+
+    TPU-first subsampling: the dataset lives permuted in VMEM; each step
+    loads one contiguous batch slab (``pl.ds``) on a cyclic schedule
+    ``batch k = it % nb`` and rescales the likelihood by n_data/B — the
+    library's ``subsample`` contract (models/logreg.py), with the
+    reference's drop-trailing-batch semantics (reshuffling.jl:48-53:
+    trailing rows beyond nb*B are dropped from each permutation).  The
+    per-batch ``sum_j y_j X_j`` rows are precomputed so the in-kernel
+    likelihood and gradient are matmul-only (no label array on chip).
+
+    Epoch semantics: within a chunk the permutation is FIXED (cyclic
+    incremental-gradient passes); ``reshuffle`` re-permutes between
+    driver chunks — coarser than the general path's per-epoch reshuffle,
+    same unbiased estimator.  Requires n_used = nb*B rows resident in
+    VMEM: n_data * 512 bytes <= ~12 MB, i.e. n_data <~ 24k.
+    """
+    n_data, db = X.shape
+    if db + 1 > D_PAD:
+        raise ValueError(
+            f"fused engine supports dim <= {D_PAD}, got {db + 1}"
+        )
+    if batch_size % 8 != 0:
+        raise ValueError(f"batch_size must be a multiple of 8, got {batch_size}")
+    nb = n_data // batch_size
+    if nb < 1:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds n_data {n_data}"
+        )
+    n_used = nb * batch_size
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+    if key is not None:
+        perm = jax.random.permutation(key, n_data)[:n_used]
+        Xp, yp = jnp.take(X, perm, axis=0), jnp.take(y, perm, axis=0)
+    else:
+        Xp, yp = X[:n_used], y[:n_used]
+
+    def reshuffle(k, consts):
+        perm = jax.random.permutation(k, n_data)[:n_used]
+        return _pack_minibatch_consts(
+            jnp.take(X, perm, axis=0), jnp.take(y, perm, axis=0),
+            batch_size, db,
+        )
+
+    return FusedModelSpec(
+        dim=db + 1,
+        consts=_pack_minibatch_consts(Xp, yp, batch_size, db),
+        scalars=jnp.array([n_data / batch_size, prior_scale], jnp.float32),
+        step_factory=_logreg_mb_step_factory,
+        static_cfg=(db, batch_size, nb),
+        reshuffle=reshuffle,
+    )
+
+
+def _gaussian_step_factory(static_cfg, masks, const_refs, mscal_ref):
     (d,) = static_cfg
-    m, inv_var = consts           # (1, D_PAD) each; inv_var padded 0
+    m, inv_var = (r[:] for r in const_refs)  # (1, D_PAD); inv_var padded 0
     lognorm = mscal_ref[0]
 
-    def fn(z):
+    def fn(z, it):
         diff = z - m              # padded m = 0 and padded z = 0: inert
         logpi = (
             -0.5 * jnp.sum(diff * diff * inv_var, axis=1, keepdims=True)
@@ -519,11 +659,11 @@ def normallognormal_spec(prob) -> FusedModelSpec:
     return gaussian_spec(mean, stddev)
 
 
-def _mvnormal_step_factory(static_cfg, masks, consts, mscal_ref):
-    m, prec = consts              # (1, D_PAD), (D_PAD, D_PAD); padding zero
+def _mvnormal_step_factory(static_cfg, masks, const_refs, mscal_ref):
+    m, prec = (r[:] for r in const_refs)  # (1, D_PAD), (D_PAD, D_PAD)
     lognorm = mscal_ref[0]
 
-    def fn(z):
+    def fn(z, it):
         diff = z - m
         # grad = -Prec diff; Prec symmetric -> one (N, D) x (D, D) matmul
         grad = -jnp.dot(diff, prec, preferred_element_type=jnp.float32)
@@ -842,6 +982,14 @@ class FusedADVI:
                     "elbo": float(jax.device_get(state.elbo)),
                     "iteration": done - start,
                 })
+            if self.model.reshuffle is not None and done < end:
+                # data-order refresh between chunks (minibatch models);
+                # consts are traced inputs, so this never recompiles
+                self.model = self.model._replace(
+                    consts=self.model.reshuffle(
+                        jax.random.fold_in(key, done), self.model.consts
+                    )
+                )
             if progress is not None and infos:
                 progress.update(done - start, infos[-1])
         if infos and infos[-1]["iteration"] != max_iter:

@@ -27,6 +27,7 @@ from advancedvi_jl_tpu.ops.pallas.fused_advi import (
     FusedADVI,
     FusedLogRegADVI,
     gaussian_spec,
+    logreg_minibatch_spec,
     logreg_spec,
     normallognormal_spec,
 )
@@ -483,3 +484,116 @@ def test_fused_optimize_bookkeeping(flagship, monkeypatch):
             jax.random.key(0), 1_000, state=eng2_state,
             chunk_size=1_000, log_every=100,
         )
+
+
+def test_fused_minibatch_logreg_matches_manual_loop():
+    """In-kernel minibatch subsampling (cyclic slab windows + n/B
+    rescaling): injected-noise parity against a manual optax loop whose
+    per-step target is the library's own LogReg.subsample restriction to
+    the same window."""
+    import math
+
+    n_data, feats, B = 64, 4, 16
+    prob = make_logreg(jax.random.key(2), n_data=n_data, n_features=feats)
+    d = prob.dim
+    db = d - 1
+    nb = n_data // B
+    T = 2 * nb + 1  # wraps the cyclic schedule
+    n_s = 6
+
+    spec = logreg_minibatch_spec(prob.X, prob.y, batch_size=B)
+    eng = FusedADVI(spec, n_samples=n_s, lr=1e-3, interpret=True)
+
+    rng = np.random.default_rng(0)
+    draws = [
+        rng.standard_normal((n_s, d)).astype(np.float32) for _ in range(T)
+    ]
+
+    mu = jnp.zeros(d)
+    sig = 0.1 * jnp.ones(d)
+    import optax
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init((mu, sig))
+    avg = (mu, sig)
+    elbo_last = None
+    for it in range(T):
+        k = it % nb
+        # the library's own subsample restriction to the SAME window
+        tgt = prob.subsample(jnp.arange(k * B, (k + 1) * B)).unconstrained()
+        u = jnp.asarray(draws[it])
+
+        def loss(params):
+            m, s = params
+            z = m + s * u
+            energy = jnp.mean(jax.vmap(tgt.log_density)(z))
+            ms, ss = jax.lax.stop_gradient((m, s))
+            logq = (
+                -0.5 * jnp.sum(((z - ms) / ss) ** 2, axis=1)
+                - jnp.sum(jnp.log(ss))
+                - 0.5 * d * math.log(2 * math.pi)
+            )
+            ent = -jnp.mean(logq)
+            return -(energy + ent), energy + ent
+
+        (l, elbo_last), g = jax.value_and_grad(loss, has_aux=True)((mu, sig))
+        upd, opt_state = opt.update(g, opt_state, (mu, sig))
+        mu, sig = optax.apply_updates((mu, sig), upd)
+        sig = jnp.maximum(sig, 1e-5)
+        w = 9.0 / (it + 1 + 8.0)
+        avg = jax.tree.map(lambda a, p: (1 - w) * a + w * p, avg, (mu, sig))
+
+    fstate = eng.run_chunk(
+        eng.init(jnp.zeros(d), 0.1 * jnp.ones(d)),
+        jax.random.key(1), steps=T, noise=_pack_noise(draws),
+    )
+    assert_allclose(fstate.mu[0, :d], mu, rtol=1e-5, atol=1e-6)
+    assert_allclose(fstate.sig[0, :d], sig, rtol=1e-5, atol=1e-6)
+    assert_allclose(fstate.avg_mu[0, :d], avg[0], rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        float(fstate.elbo), float(elbo_last), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_minibatch_validation_and_trailing_drop():
+    X = jnp.ones((70, 4))
+    y = jnp.zeros((70,))
+    with pytest.raises(ValueError, match="multiple of 8"):
+        logreg_minibatch_spec(X, y, batch_size=10)
+    with pytest.raises(ValueError, match="exceeds"):
+        logreg_minibatch_spec(X, y, batch_size=80)
+    spec = logreg_minibatch_spec(X, y, batch_size=16)
+    # 70 rows -> 4 batches of 16, 6 trailing rows dropped; likeadj = 70/16
+    assert spec.static_cfg == (4, 16, 4)
+    assert spec.consts[0].shape[0] == 64
+    assert float(spec.scalars[0]) == pytest.approx(70 / 16)
+    # reshuffle returns same-shaped consts (no recompile contract)
+    c2 = spec.reshuffle(jax.random.key(0), spec.consts)
+    assert all(a.shape == b.shape for a, b in zip(spec.consts, c2))
+
+
+def test_fused_optimize_calls_reshuffle(flagship, monkeypatch):
+    prob, _ = flagship
+    spec = logreg_minibatch_spec(prob.X, prob.y, batch_size=16)
+    calls = []
+
+    def spy_reshuffle(k, consts):
+        calls.append(int(jax.random.key_data(k)[-1]))
+        return consts
+
+    spec = spec._replace(reshuffle=spy_reshuffle)
+    eng = FusedADVI(spec, n_samples=4, interpret=True)
+
+    def fake_traced(state, key, steps, log_every, noise=None):
+        g = steps // log_every
+        return state._replace(
+            iteration=state.iteration + steps, elbo=jnp.float32(-1.0)
+        ), jnp.full((g,), -1.0, jnp.float32)
+
+    monkeypatch.setattr(eng, "run_chunk_traced", fake_traced)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(prob.dim), 0.1 * jnp.ones(prob.dim))
+    eng.optimize(
+        jax.random.key(0), 3_000, q0, chunk_size=1_000, log_every=100,
+    )
+    # reshuffled between chunks (after chunk 1 and 2; not after the last)
+    assert len(calls) == 2
