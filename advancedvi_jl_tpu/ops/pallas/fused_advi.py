@@ -173,18 +173,25 @@ def _backsub_ct(C, u, d, lane):
 def _kernel(
     # static
     family, step_factory, static_cfg, n_consts, n_samples, d, steps,
-    use_noise, log_every,
+    use_noise, traced,
     # refs
     *refs,
 ):
     # ref layout: inputs [seed, it0, hyp, mscal, *consts, *state(8),
-    # noise?] then the 9 (+1 if tracing) output refs
+    # noise?] then the 9 (+1 if tracing) output refs.
+    #
+    # Traced mode runs a SEQUENTIAL GRID of trace rows: each grid step
+    # executes ``steps`` (= log_every) iterations and writes its row of
+    # the trace through a STATIC BlockSpec index map — no dynamic stores
+    # (a per-step dynamic store made Mosaic compile for ~19 minutes,
+    # BENCH_NOTES "Round 4").  State persists across grid steps in the
+    # output refs (constant index maps are revisited, not flushed); grid
+    # step 0 seeds them from the input refs.
     seed_ref, it0_ref, hyp_ref, mscal_ref = refs[:4]
     const_refs = refs[4 : 4 + n_consts]
-    (mu_ref, sig_ref, mmu_ref, vmu_ref, msig_ref, vsig_ref, amu_ref,
-     asig_ref) = refs[4 + n_consts : 12 + n_consts]
+    state_in = refs[4 + n_consts : 12 + n_consts]
     noise_ref = refs[12 + n_consts] if use_noise else None
-    if log_every:
+    if traced:
         (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
          elbo_o, trace_o) = refs[-10:]
     else:
@@ -198,7 +205,22 @@ def _kernel(
     avg_eta = hyp_ref[4]
     clip_eps = hyp_ref[5]
 
-    it0 = it0_ref[0]
+    if traced:
+        gidx = pl.program_id(0)
+        outs = (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o)
+
+        @pl.when(gidx == 0)
+        def _seed_state():
+            for src, dst in zip(state_in, outs):
+                dst[:] = src[:]
+
+        state_refs = outs
+        block_off = gidx * steps
+    else:
+        state_refs = state_in
+        block_off = 0
+
+    it0 = it0_ref[0] + block_off
     if not use_noise:
         # Chunk-unique stream: fold the starting iteration into seed word 0
         # (v5e: max 2 seed words).  Skipped entirely on the noise-injection
@@ -235,7 +257,8 @@ def _kernel(
         it_f = (it0 + i).astype(jnp.float32)
 
         if use_noise:
-            u = noise_ref[pl.ds(i * N_PAD, N_PAD), :]
+            # chunk-local row: block offset + in-block index (traced grid)
+            u = noise_ref[pl.ds((block_off + i) * N_PAD, N_PAD), :]
         else:
             u = _box_muller((N_PAD, D_PAD))
         u = u * maskn * maskd
@@ -296,23 +319,9 @@ def _kernel(
         a_mu = (1.0 - w) * a_mu + w * mu
         a_sig = (1.0 - w) * a_sig + w * sig
 
-        if log_every:
-            # thinned on-device ELBO trace: one row per log_every steps
-            # (the driver's log_every contract without any host syncs)
-            @pl.when((i + 1) % log_every == 0)
-            def _store():
-                g = (i + 1) // log_every - 1
-                trace_o[pl.ds(g, 1), :] = jnp.full((1, D_PAD), elbo)
-
         return (mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo)
 
-    if log_every:
-        trace_o[:] = jnp.zeros(trace_o.shape, jnp.float32)
-    init = (
-        mu_ref[:], sig_ref[:], mmu_ref[:], vmu_ref[:],
-        msig_ref[:], vsig_ref[:], amu_ref[:], asig_ref[:],
-        jnp.float32(0.0),
-    )
+    init = tuple(r[:] for r in state_refs) + (jnp.float32(0.0),)
     mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo = jax.lax.fori_loop(
         0, steps, body, init
     )
@@ -325,6 +334,9 @@ def _kernel(
     amu_o[:] = a_mu
     asig_o[:] = a_sig
     elbo_o[:] = jnp.full((1, D_PAD), elbo)
+    if traced:
+        # this grid step's row of the thinned ELBO trace (static block)
+        trace_o[:] = jnp.full((1, D_PAD), elbo)
 
 
 @functools.partial(
@@ -339,8 +351,6 @@ def _run_chunk(
     family, step_factory, static_cfg, n_samples, d, steps, use_noise,
     interpret, log_every=0,
 ):
-    vec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     scale_shape = (
         (1, D_PAD) if family == MEANFIELD else (D_PAD, D_PAD)
     )
@@ -350,32 +360,63 @@ def _run_chunk(
     out_shape = tuple(
         jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes
     ) + (jax.ShapeDtypeStruct((1, D_PAD), jnp.float32),)
-    n_out = 9
-    if log_every:
-        # thinned elbo trace, rows padded to a sublane multiple
-        g = steps // log_every
-        g_pad = max(8, -(-g // 8) * 8)
-        out_shape = out_shape + (
-            jax.ShapeDtypeStruct((g_pad, D_PAD), jnp.float32),
-        )
-        n_out = 10
-    kernel = functools.partial(
-        _kernel, family, step_factory, static_cfg, len(consts), n_samples,
-        d, steps, use_noise, log_every,
-    )
-    in_specs = (
-        [smem, smem, smem, smem]
-        + [vec] * len(consts)
-        + [vec] * 8
-        + ([vec] if use_noise else [])
-    )
     operands = (seed, it0, hyp, mscal) + tuple(consts) + tuple(state_arrays)
     if use_noise:
         operands = operands + (noise,)
+    traced = log_every > 0
+    if traced and steps % log_every:
+        raise ValueError(
+            f"traced chunks need steps % log_every == 0, got "
+            f"{steps}/{log_every}"
+        )
+    kernel = functools.partial(
+        _kernel, family, step_factory, static_cfg, len(consts), n_samples,
+        d, log_every if traced else steps, use_noise, traced,
+    )
+    if not traced:
+        vec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs = (
+            [smem, smem, smem, smem]
+            + [vec] * len(consts)
+            + [vec] * 8
+            + ([vec] if use_noise else [])
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_specs=tuple(vec for _ in range(9)),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*operands)
+
+    # Traced: sequential grid of G = steps/log_every rows.  Every operand
+    # and state output is a full-array block with a CONSTANT index map
+    # (revisited across grid steps, so state persists on chip); only the
+    # trace output advances one (1, D_PAD) row per grid step.
+    G = steps // log_every
+
+    def whole(x, space=pltpu.VMEM):
+        nd = len(x.shape)
+        return pl.BlockSpec(
+            x.shape, lambda g, _n=nd: (0,) * _n, memory_space=space
+        )
+
+    in_specs = (
+        [whole(x, pltpu.SMEM) for x in operands[:4]]
+        + [whole(x) for x in operands[4:]]
+    )
+    out_specs = tuple(whole(s) for s in out_shape) + (
+        pl.BlockSpec((1, D_PAD), lambda g: (g, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = out_shape + (
+        jax.ShapeDtypeStruct((G, D_PAD), jnp.float32),
+    )
     return pl.pallas_call(
         kernel,
+        grid=(G,),
         in_specs=in_specs,
-        out_specs=tuple(vec for _ in range(n_out)),
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*operands)
