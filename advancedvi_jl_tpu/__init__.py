@@ -125,6 +125,7 @@ from .ops.pallas.fused_advi import (  # whole-loop fused engines (TPU)
     FusedADVI,
     FusedLogRegADVI,
     FusedModelSpec,
+    FusedProxADVI,
     fused_spec_for,
     logreg_minibatch_spec,
 )

@@ -84,6 +84,17 @@ _GOLD = -1640531527  # int32 golden-ratio mix (as the samplers)
 MEANFIELD = "meanfield"
 FULLRANK = "fullrank"
 
+# Entropy-estimator names (string-equal to objectives.entropy constants;
+# kept local so the kernel module stays import-light — pinned by test).
+ENT_STL = "stl"
+ENT_CF_ZERO = "closed_form_zero_grad"
+ENT_STL_ZERO = "stl_zero_grad"
+
+# Optimizer+operator combos the kernel can run.
+ALGO_ADAM = "adam"          # Adam + ClipScale           (KLMinRepGradDescent)
+ALGO_DESCENT = "descent"    # SGD + proximal entropy     (KLMinRepGradProxDescent)
+ALGO_DOWG = "dowg"          # DoWG + proximal entropy    (KLMinRepGradProxDescent)
+
 
 class FusedModelSpec(NamedTuple):
     """A target model the fused engines can inline.
@@ -173,7 +184,7 @@ def _backsub_ct(C, u, d, lane):
 def _kernel(
     # static
     family, step_factory, static_cfg, n_consts, n_samples, d, steps,
-    use_noise, traced,
+    use_noise, traced, algo, entropy,
     # refs
     *refs,
 ):
@@ -265,21 +276,30 @@ def _kernel(
 
         if family == MEANFIELD:
             z = mu + sig * u                  # (N_PAD, D_PAD)
-            whiten = u / sig                  # padded sig = 1.0: inert
+            diag = sig
             logdet = jnp.sum(jnp.log(sig) * maskd)
         else:
             # z = mu + u C^T: one MXU matmul over the sample block
             z = mu + jnp.dot(u, sig.T, preferred_element_type=jnp.float32)
-            whiten = _backsub_ct(sig, u, d, lane)
             diag = jnp.sum(sig * eye, axis=0, keepdims=True)  # (1, D_PAD)
             # padded diag entries are 1.0 -> log contributes 0
             logdet = jnp.sum(jnp.log(diag) * maskd)
 
         logpi, grad_logpi = model_fn(z, it0 + i)
 
-        # STL: dL/dz = -(1/n)(grad_logpi + whiten); the bracket is the
-        # score mismatch and vanishes at q = pi (sticking the landing)
-        g_z = -inv_n * (grad_logpi + whiten) * maskn * maskd
+        if entropy == ENT_CF_ZERO:
+            # entropy(q_stop): detached, no whitening term in dL/dz (the
+            # proximal operator supplies the entropy force).  Full-rank
+            # skips the back-substitution entirely.
+            g_z = -inv_n * grad_logpi * maskn * maskd
+        else:
+            # STL: dL/dz = -(1/n)(grad_logpi + whiten); the bracket is the
+            # score mismatch and vanishes at q = pi (sticking the landing)
+            whiten = (
+                u / sig if family == MEANFIELD
+                else _backsub_ct(sig, u, d, lane)
+            )
+            g_z = -inv_n * (grad_logpi + whiten) * maskn * maskd
         dmu = jnp.sum(g_z, axis=0, keepdims=True)             # (1, D_PAD)
         if family == MEANFIELD:
             dsig = jnp.sum(g_z * u, axis=0, keepdims=True)
@@ -288,31 +308,82 @@ def _kernel(
             dsig = tril_d * jnp.dot(
                 g_z.T, u, preferred_element_type=jnp.float32
             )
+        if entropy == ENT_STL_ZERO:
+            # + dH(q)/dscale = 1/sigma on the (real) diagonal: the combined
+            # zero-gradient STL estimator (entropy.jl:80-90) is
+            # stl - H(q) + H(q_stop), and L = -(energy + entropy).
+            if family == MEANFIELD:
+                dsig = dsig + maskd / sig
+            else:
+                dsig = dsig + diag_d * (1.0 / diag)
 
-        # ELBO estimate (info channel): energy + STL entropy value
+        # ELBO estimate (info channel): energy + entropy value
         energy = inv_n * jnp.sum(logpi * row_valid)
-        ent = logdet + inv_n * jnp.sum(0.5 * u * u) + 0.5 * d * _L2PI
+        if entropy == ENT_CF_ZERO:
+            ent = logdet + 0.5 * d * (1.0 + _L2PI)   # closed form H(q)
+        else:
+            # STL estimate value (== stl_zero's value: -H(q)+H(q_stop) = 0)
+            ent = logdet + inv_n * jnp.sum(0.5 * u * u) + 0.5 * d * _L2PI
         elbo = energy + ent
 
-        # Adam (optax.scale_by_adam semantics, count_inc = it + 1)
         c = it_f + 1.0
-        bc1 = 1.0 - jnp.exp(c * ln_b1)
-        bc2 = 1.0 - jnp.exp(c * ln_b2)
+        if algo == ALGO_ADAM:
+            # Adam (optax.scale_by_adam semantics, count_inc = it + 1)
+            bc1 = 1.0 - jnp.exp(c * ln_b1)
+            bc2 = 1.0 - jnp.exp(c * ln_b2)
 
-        def adam(m, v, g, p_):
-            m2 = b1 * m + (1.0 - b1) * g
-            v2 = b2 * v + (1.0 - b2) * g * g
-            upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
-            return m2, v2, p_ + upd
+            def adam(m, v, g, p_):
+                m2 = b1 * m + (1.0 - b1) * g
+                v2 = b2 * v + (1.0 - b2) * g * g
+                upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+                return m2, v2, p_ + upd
 
-        m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
-        m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
-        if family == MEANFIELD:
-            sig = jnp.maximum(sig, clip_eps)  # ClipScale
+            m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
+            m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
+            if family == MEANFIELD:
+                sig = jnp.maximum(sig, clip_eps)  # ClipScale
+            else:
+                # ClipScale clamps the diagonal only (padded diag untouched:
+                # its Adam update is 0, so max(1.0, eps) = 1.0 is exact)
+                sig = sig + diag_d * (jnp.maximum(sig, clip_eps) - sig)
         else:
-            # ClipScale clamps the diagonal only (padded diag untouched:
-            # its Adam update is 0, so max(1.0, eps) = 1.0 is exact)
-            sig = sig + diag_d * (jnp.maximum(sig, clip_eps) - sig)
+            # Descent / DoWG + closed-form proximal entropy step
+            # (optim/rules.py dowg, optim/operators.py
+            # ProximalLocationScaleEntropy; reference rules.jl:17-34,
+            # proximal_location_scale_entropy.jl:20-61).
+            if algo == ALGO_DOWG:
+                # DoWG state rides the Adam slots: m_* = x0 (fixed),
+                # v_mu lane 0 = v, lane 1 = r.  Padded entries of
+                # (mu - x0) / (sig - x0) are exactly 0 by construction.
+                l0 = (lane == 0).astype(jnp.float32)
+                l1 = (lane == 1).astype(jnp.float32)
+                v_prev = jnp.sum(v_mu * l0)
+                r_prev = jnp.sum(v_mu * l1)
+                dist = jnp.sqrt(
+                    jnp.sum((mu - m_mu) * (mu - m_mu))
+                    + jnp.sum((sig - m_sig) * (sig - m_sig))
+                )
+                r = jnp.maximum(dist, r_prev)
+                gsq = jnp.sum(dmu * dmu) + jnp.sum(dsig * dsig)
+                v = v_prev + r * r * gsq
+                eta = r * r / jnp.sqrt(v)
+                v_mu = l0 * v + l1 * r
+            else:
+                eta = lr
+            mu = mu - eta * dmu
+            sig = sig - eta * dsig
+            # prox: sigma' = sigma/2 + sqrt(sigma^2 + 4 gamma)/2 on the
+            # (real) scale diagonal; gamma = the step size just used ==
+            # stepsize_from_opt_state of the post-update state.
+            if family == MEANFIELD:
+                proxed = 0.5 * sig + 0.5 * jnp.sqrt(sig * sig + 4.0 * eta)
+                sig = sig + maskd * (proxed - sig)
+            else:
+                dpost = jnp.sum(sig * eye, axis=0, keepdims=True)
+                proxed = 0.5 * dpost + 0.5 * jnp.sqrt(
+                    dpost * dpost + 4.0 * eta
+                )
+                sig = sig + diag_d * (proxed - dpost)
 
         # PolynomialAveraging: w = (eta + 1) / (t + eta), t = it + 1
         w = (avg_eta + 1.0) / (c + avg_eta)
@@ -335,21 +406,27 @@ def _kernel(
     asig_o[:] = a_sig
     elbo_o[:] = jnp.full((1, D_PAD), elbo)
     if traced:
-        # this grid step's row of the thinned ELBO trace (static block)
-        trace_o[:] = jnp.full((1, D_PAD), elbo)
+        # this grid step's row of the thinned ELBO trace.  The trace buffer
+        # is a FULL-array block (constant index map, resident in VMEM for
+        # the whole kernel): Mosaic rejects a (1, D_PAD) advancing block
+        # whenever G is not 1 (the last-two-dims divisibility rule), and a
+        # full block is exempt.  One dynamic row store per GRID step — not
+        # per loop iteration, so the 19-minute per-step-dynamic-store
+        # compile hazard (BENCH_NOTES round 4) does not apply.
+        trace_o[pl.ds(pl.program_id(0), 1)] = jnp.full((1, D_PAD), elbo)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "family", "step_factory", "static_cfg", "n_samples", "d", "steps",
-        "use_noise", "interpret", "log_every",
+        "use_noise", "interpret", "log_every", "algo", "entropy",
     ),
 )
 def _run_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     family, step_factory, static_cfg, n_samples, d, steps, use_noise,
-    interpret, log_every=0,
+    interpret, log_every=0, algo=ALGO_ADAM, entropy=ENT_STL,
 ):
     scale_shape = (
         (1, D_PAD) if family == MEANFIELD else (D_PAD, D_PAD)
@@ -371,7 +448,7 @@ def _run_chunk(
         )
     kernel = functools.partial(
         _kernel, family, step_factory, static_cfg, len(consts), n_samples,
-        d, log_every if traced else steps, use_noise, traced,
+        d, log_every if traced else steps, use_noise, traced, algo, entropy,
     )
     if not traced:
         vec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -406,12 +483,11 @@ def _run_chunk(
         [whole(x, pltpu.SMEM) for x in operands[:4]]
         + [whole(x) for x in operands[4:]]
     )
+    trace_struct = jax.ShapeDtypeStruct((G, D_PAD), jnp.float32)
     out_specs = tuple(whole(s) for s in out_shape) + (
-        pl.BlockSpec((1, D_PAD), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        whole(trace_struct),
     )
-    out_shape = out_shape + (
-        jax.ShapeDtypeStruct((G, D_PAD), jnp.float32),
-    )
+    out_shape = out_shape + (trace_struct,)
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -833,6 +909,8 @@ class FusedADVI:
             [lr, b1, b2, eps, avg_eta, clip_eps], jnp.float32
         )
         self.interpret = interpret
+        self.algo = ALGO_ADAM
+        self.entropy = ENT_STL
 
     def _scale_zeros(self):
         if self.family == MEANFIELD:
@@ -860,6 +938,27 @@ class FusedADVI:
             sig = _pad_tril(scale)
         zeros = jnp.zeros((1, D_PAD), jnp.float32)
         zeros_s = self._scale_zeros()
+        if self.algo == ALGO_DOWG:
+            # DoWG state rides the Adam slots: m_* = x0 copies, v_mu =
+            # [v, r, 0, ...].  r0 = alpha * (1 + ||x0||) over the REAL
+            # parameter entries (optim/rules.py dowg init; padding is
+            # excluded because the general path never sees it).
+            norm0 = jnp.sqrt(
+                jnp.sum(jnp.square(location.astype(jnp.float32)))
+                + jnp.sum(jnp.square(
+                    scale.astype(jnp.float32) if self.family == MEANFIELD
+                    else jnp.tril(scale.astype(jnp.float32))
+                ))
+            )
+            r0 = jnp.float32(self.alpha) * (1.0 + norm0)
+            v_mu = zeros.at[0, 1].set(r0)
+            return FusedADVIState(
+                mu=mu, sig=sig,
+                m_mu=mu, v_mu=v_mu, m_sig=sig, v_sig=zeros_s,
+                avg_mu=mu, avg_sig=sig,
+                iteration=jnp.asarray(0, jnp.int32),
+                elbo=jnp.float32(0.0),
+            )
         return FusedADVIState(
             mu=mu, sig=sig,
             m_mu=zeros, v_mu=zeros, m_sig=zeros_s, v_sig=zeros_s,
@@ -932,6 +1031,7 @@ class FusedADVI:
             static_cfg=self.model.static_cfg, n_samples=self.n_samples,
             d=self.dim, steps=steps, use_noise=use_noise,
             interpret=self.interpret, log_every=log_every,
+            algo=self.algo, entropy=self.entropy,
         )
         new_state = FusedADVIState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
@@ -1058,6 +1158,57 @@ class FusedADVI:
         if self.family == MEANFIELD:
             return MeanFieldGaussian(mu[0, :d], sig[0, :d])
         return FullRankGaussian(mu[0, :d], sig[:d, :d])
+
+
+class FusedProxADVI(FusedADVI):
+    """Whole-loop fused proximal ADVI: {mean-field, full-rank} x
+    {Descent, DoWG} with the closed-form entropy proximal step.
+
+    Reproduces ``KLMinRepGradProxDescent(entropy_zerograd=entropy,
+    optimizer=descent(lr) | dowg(alpha))`` + ``PolynomialAveraging``
+    exactly under injected noise (tests/test_fused_advi.py); same RNG
+    caveat as FusedADVI.  With the default ``closed_form_zero_grad``
+    entropy the full-rank engine never runs the in-kernel
+    back-substitution — the proximal step replaces the whitening term —
+    so fused prox full-rank is substantially CHEAPER per step than fused
+    STL full-rank.
+
+    DoWG state layout: the Adam slots are repurposed — ``m_mu``/``m_sig``
+    hold the frozen initial parameters x0, ``v_mu[0, 0]`` the weighted
+    gradient-norm accumulator v, ``v_mu[0, 1]`` the running distance r
+    (reference rules.jl:17-34; norms are global over [location, scale]).
+    """
+
+    def __init__(
+        self,
+        model: FusedModelSpec,
+        family: str = MEANFIELD,
+        n_samples: int = 10,
+        optimizer: str = ALGO_DOWG,
+        lr: float = 1e-3,
+        alpha: float = 1e-6,
+        entropy: str = ENT_CF_ZERO,
+        avg_eta: float = 8.0,
+        interpret: bool = False,
+    ):
+        if optimizer not in (ALGO_DESCENT, ALGO_DOWG):
+            raise ValueError(
+                f"optimizer must be '{ALGO_DESCENT}' or '{ALGO_DOWG}', "
+                f"got {optimizer!r} (proximal steps need an extractable "
+                "step size)"
+            )
+        if entropy not in (ENT_CF_ZERO, ENT_STL_ZERO):
+            raise ValueError(
+                "proximal engines need a zero-gradient entropy estimator "
+                f"('{ENT_CF_ZERO}' or '{ENT_STL_ZERO}'), got {entropy!r}"
+            )
+        super().__init__(
+            model, family=family, n_samples=n_samples, lr=lr,
+            avg_eta=avg_eta, interpret=interpret,
+        )
+        self.algo = optimizer
+        self.entropy = entropy
+        self.alpha = alpha
 
 
 class FusedLogRegADVI(FusedADVI):

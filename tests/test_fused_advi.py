@@ -486,6 +486,128 @@ def test_fused_optimize_bookkeeping(flagship, monkeypatch):
         )
 
 
+def test_fused_entropy_names_match_library_constants():
+    from advancedvi_jl_tpu.ops.pallas import fused_advi as fa
+
+    assert fa.ENT_STL == avt.STL
+    assert fa.ENT_CF_ZERO == avt.CLOSED_FORM_ZERO_GRAD
+    assert fa.ENT_STL_ZERO == avt.STL_ZERO_GRAD
+
+
+def test_fused_prox_dowg_meanfield_matches_general_path(flagship):
+    """FusedProxADVI(dowg, closed_form_zero_grad) x mean-field logreg:
+    injected-noise parity of the in-kernel DoWG rule (global norms, x0
+    distance, v/r accumulators) and the closed-form entropy proximal step
+    against KLMinRepGradProxDescent."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import FusedProxADVI
+
+    prob, target = flagship
+    d = prob.dim
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+
+    alg = avt.KLMinRepGradProxDescent(
+        entropy_zerograd=avt.CLOSED_FORM_ZERO_GRAD,
+        n_samples=N_SAMPLES,
+        optimizer=avt.dowg(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    state, draws, infos = _run_general(alg, state, T, N_SAMPLES)
+
+    engine = FusedProxADVI(
+        logreg_spec(prob.X, prob.y, prior_scale=prob.prior_scale,
+                    likeadj=float(prob.likeadj)),
+        n_samples=N_SAMPLES, optimizer="dowg", interpret=True,
+    )
+    fstate = engine.init(q0.location, q0.scale_diag)
+    # DoWG state rides the Adam slots: x0 copies + [v, r] lanes
+    assert_allclose(fstate.m_mu[0, :d], q0.location, rtol=0, atol=0)
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=T, noise=_pack_noise(draws)
+    )
+
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        fstate.sig[0, :d], state.q.scale_diag, rtol=1e-5, atol=1e-6
+    )
+    q_avg = alg.output(state)
+    q_fused = engine.q(fstate)
+    assert_allclose(q_fused.location, q_avg.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        q_fused.scale_diag, q_avg.scale_diag, rtol=1e-5, atol=1e-6
+    )
+    # DoWG accumulators vs the general-path DoWGState
+    assert_allclose(
+        float(fstate.v_mu[0, 0]), float(state.opt_state.v), rtol=1e-4
+    )
+    assert_allclose(
+        float(fstate.v_mu[0, 1]), float(state.opt_state.r), rtol=1e-4
+    )
+    # closed-form entropy ELBO value of the final step
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_prox_descent_fullrank_stl_zero_matches_general_path():
+    """FusedProxADVI(descent, stl_zero_grad) x full-rank normal-lognormal:
+    the zero-gradient STL correction (+1/diag on the scale diagonal) and
+    the diagonal-only proximal step compose with the back-substitution
+    whitening exactly as in the general path."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import FULLRANK, FusedProxADVI
+
+    prob, _, _ = make_normallognormal(jax.random.key(7), n_dims=10)
+    target = prob.unconstrained()
+    d = prob.dim
+    C0 = 0.2 * jnp.eye(d) + 0.05 * jnp.tril(
+        jax.random.normal(jax.random.key(3), (d, d)), -1
+    )
+    q0 = avt.FullRankGaussian(0.3 * jnp.ones(d), C0)
+
+    alg = avt.KLMinRepGradProxDescent(
+        entropy_zerograd=avt.STL_ZERO_GRAD,
+        n_samples=N_SAMPLES,
+        optimizer=avt.descent(1e-3),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    state, draws, infos = _run_general(alg, state, T, N_SAMPLES)
+
+    engine = FusedProxADVI(
+        normallognormal_spec(prob), family=FULLRANK,
+        n_samples=N_SAMPLES, optimizer="descent", lr=1e-3,
+        entropy=avt.STL_ZERO_GRAD, interpret=True,
+    )
+    fstate = engine.init(q0.location, q0.scale)
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=T, noise=_pack_noise(draws)
+    )
+
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        fstate.sig[:d, :d], jnp.tril(state.q.scale), rtol=1e-5, atol=1e-6
+    )
+    q_avg = alg.output(state)
+    q_fused = engine.q(fstate)
+    assert_allclose(q_fused.location, q_avg.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        q_fused.scale, jnp.tril(q_avg.scale), rtol=1e-5, atol=1e-6
+    )
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+    # padding inert under the prox step (padded diag stays exactly 1.0)
+    assert np.all(np.asarray(fstate.sig[d:, d:].diagonal()) == 1.0)
+
+
+def test_fused_prox_validation():
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import FusedProxADVI
+
+    spec = gaussian_spec(jnp.zeros(4), jnp.ones(4))
+    with pytest.raises(ValueError, match="optimizer"):
+        FusedProxADVI(spec, optimizer="adam")
+    with pytest.raises(ValueError, match="zero-gradient"):
+        FusedProxADVI(spec, entropy=avt.STL)
+
+
 def test_fused_minibatch_logreg_matches_manual_loop():
     """In-kernel minibatch subsampling (cyclic slab windows + n/B
     rescaling): injected-noise parity against a manual optax loop whose
