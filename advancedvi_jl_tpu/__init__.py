@@ -129,6 +129,7 @@ from .ops.pallas.fused_advi import (  # whole-loop fused engines (TPU)
     fused_spec_for,
     logreg_minibatch_spec,
 )
+from .ops.pallas.fused_chains import FusedChainsADVI
 
 from . import ppl  # model-ingestion DSL + numpyro bridge (L8)
 

@@ -1,0 +1,425 @@
+"""Whole-loop fused multi-chain ADVI: C independent mean-field chains in
+ONE Pallas kernel (TPU).
+
+``parallel/chains.py`` vmaps the general step over a chain axis — many
+XLA dispatches per step.  This module goes further: the chain axis lives
+INSIDE the fused whole-loop kernel, so C complete mean-field ADVI+STL
+optimizations (on-chip RNG, model gradient, Adam, ClipScale, polynomial
+averaging) advance together with ONE dispatch per chunk of steps.  All
+per-chain (1, D_PAD) rows become (C_PAD, D_PAD) blocks: the VPU/MXU work
+that was 94% padding waste at one chain becomes dense, so aggregate
+chain-steps/s scales far better than chain count costs.
+
+Row layout: the (R, D_PAD) sample block has R = n_samples * C_PAD rows
+with row r belonging to chain ``r % C_PAD``, sample ``r // C_PAD``.
+Chain-to-row broadcast is a static concatenate of n_samples copies;
+row-to-chain reduction is a static sum of n_samples (C_PAD, D_PAD)
+slices — no selector matmuls, no layout gathers, no alignment hazards
+(C_PAD is a multiple of 8, D_PAD = 128).
+
+Model side: any ``FusedModelSpec`` works UNCHANGED — the step factories
+are row-generic (they map (rows, D_PAD) z blocks to per-row (logpi,
+grad)), so the single-chain and multi-chain engines share the exact same
+model registry.  Semantics per chain match ``FusedADVI`` (and therefore
+``KLMinRepGradDescent(entropy=STL, optimizer=adam, operator=ClipScale())``
++ polynomial averaging); the per-chain update math is pinned against C
+independent general-path runs by injected noise (tests/test_fused_chains
+.py).  Same RNG-stream caveat as fused_advi.run_chunk: the on-chip
+stream is chunk-layout-dependent.
+
+No reference counterpart: the reference optimizes one chain per process
+(src/optimize.jl); multi-start VI there is a shell loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_advi import (
+    D_PAD,
+    _GOLD,
+    FusedModelSpec,
+    Masks,
+    _box_muller,
+)
+from .location_scale_kernels import key_to_seed
+
+_L2PI = math.log(2.0 * math.pi)
+
+N_SAMPLES_MAX = 16
+C_PAD_MAX = 128  # VMEM budget: R = 16 * 128 rows of (R, 128) f32 blocks
+
+
+class FusedChainsState(NamedTuple):
+    """Kernel-resident state for C_PAD chains; every array (C_PAD, D_PAD)
+    with chain c on row c (rows >= n_chains and lanes >= d are inert
+    padding: scale rows 1.0, everything else 0)."""
+
+    mu: jax.Array
+    sig: jax.Array
+    m_mu: jax.Array
+    v_mu: jax.Array
+    m_sig: jax.Array
+    v_sig: jax.Array
+    avg_mu: jax.Array
+    avg_sig: jax.Array
+    iteration: jax.Array   # () int32, shared across chains
+    elbo: jax.Array        # (C_PAD,) f32, per-chain last-step estimate
+
+
+def _chains_kernel(
+    # static
+    step_factory, static_cfg, n_consts, n_chains, c_pad, n_samples, d,
+    steps, use_noise,
+    # refs
+    *refs,
+):
+    seed_ref, it0_ref, hyp_ref, mscal_ref = refs[:4]
+    const_refs = refs[4 : 4 + n_consts]
+    state_in = refs[4 + n_consts : 12 + n_consts]
+    noise_ref = refs[12 + n_consts] if use_noise else None
+    (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
+     elbo_o) = refs[-9:]
+
+    lr = hyp_ref[0]
+    b1 = hyp_ref[1]
+    b2 = hyp_ref[2]
+    eps = hyp_ref[3]
+    avg_eta = hyp_ref[4]
+    clip_eps = hyp_ref[5]
+
+    it0 = it0_ref[0]
+    if not use_noise:
+        pltpu.prng_seed(seed_ref[0] + it0 * _GOLD, seed_ref[1])
+
+    R = n_samples * c_pad
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D_PAD), 1)
+    maskd = (lane < d).astype(jnp.float32)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (R, D_PAD), 0)
+    # row r belongs to chain r % c_pad; rows of padded chains are invalid
+    maskR = (jax.lax.rem(rowi, c_pad) < n_chains).astype(jnp.float32)
+    masks = Masks(lane=lane, maskd=maskd, maskn=maskR, d=d,
+                  n_samples=n_samples)
+    model_fn = step_factory(static_cfg, masks, const_refs, mscal_ref)
+
+    inv_n = 1.0 / n_samples
+    ln_b1 = jnp.log(b1)
+    ln_b2 = jnp.log(b2)
+
+    def chain_sum(x):
+        # (R, D_PAD) -> (c_pad, D_PAD): static sum over the sample slices
+        acc = x[0:c_pad]
+        for s in range(1, n_samples):
+            acc = acc + x[s * c_pad : (s + 1) * c_pad]
+        return acc
+
+    def rows(x):
+        # (c_pad, D_PAD) -> (R, D_PAD): chain-to-row broadcast
+        return jnp.concatenate([x] * n_samples, axis=0)
+
+    def body(i, carry):
+        mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, _ = carry
+        it_f = (it0 + i).astype(jnp.float32)
+
+        if use_noise:
+            u = noise_ref[pl.ds(i * R, R), :]
+        else:
+            u = _box_muller((R, D_PAD))
+        u = u * maskR * maskd
+
+        sig_rows = rows(sig)
+        z = rows(mu) + sig_rows * u
+        logpi, grad_logpi = model_fn(z, it0 + i)
+
+        # STL per chain: dL/dz = -(1/n)(grad_logpi + u/sigma)
+        g_z = -inv_n * (grad_logpi + u / sig_rows) * maskR * maskd
+        dmu = chain_sum(g_z)
+        dsig = chain_sum(g_z * u)
+
+        # per-chain ELBO estimate: energy + STL entropy value
+        energy = inv_n * chain_sum(logpi)          # (c_pad, 1)
+        logdet = jnp.sum(jnp.log(sig) * maskd, axis=1, keepdims=True)
+        u2 = chain_sum(0.5 * u * u)
+        ent = (
+            logdet
+            + inv_n * jnp.sum(u2, axis=1, keepdims=True)
+            + 0.5 * d * _L2PI
+        )
+        elbo_c = energy + ent                      # (c_pad, 1)
+
+        # Adam (optax.scale_by_adam, count_inc = it + 1), elementwise per
+        # chain; padded chains receive exactly zero gradients.
+        c = it_f + 1.0
+        bc1 = 1.0 - jnp.exp(c * ln_b1)
+        bc2 = 1.0 - jnp.exp(c * ln_b2)
+
+        def adam(m, v, g, p_):
+            m2 = b1 * m + (1.0 - b1) * g
+            v2 = b2 * v + (1.0 - b2) * g * g
+            upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            return m2, v2, p_ + upd
+
+        m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
+        m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
+        sig = jnp.maximum(sig, clip_eps)           # ClipScale
+
+        # PolynomialAveraging: w = (eta + 1) / (t + eta)
+        w = (avg_eta + 1.0) / (c + avg_eta)
+        a_mu = (1.0 - w) * a_mu + w * mu
+        a_sig = (1.0 - w) * a_sig + w * sig
+
+        return (mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo_c)
+
+    init = tuple(r[:] for r in state_in) + (
+        jnp.zeros((c_pad, 1), jnp.float32),
+    )
+    mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo_c = (
+        jax.lax.fori_loop(0, steps, body, init)
+    )
+    mu_o[:] = mu
+    sig_o[:] = sig
+    mmu_o[:] = m_mu
+    vmu_o[:] = v_mu
+    msig_o[:] = m_sig
+    vsig_o[:] = v_sig
+    amu_o[:] = a_mu
+    asig_o[:] = a_sig
+    elbo_o[:] = elbo_c + jnp.zeros((c_pad, D_PAD), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "step_factory", "static_cfg", "n_chains", "c_pad", "n_samples",
+        "d", "steps", "use_noise", "interpret",
+    ),
+)
+def _run_chains_chunk(
+    seed, it0, hyp, mscal, consts, noise, state_arrays,
+    step_factory, static_cfg, n_chains, c_pad, n_samples, d, steps,
+    use_noise, interpret,
+):
+    shape = (c_pad, D_PAD)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(9)
+    )
+    operands = (seed, it0, hyp, mscal) + tuple(consts) + tuple(state_arrays)
+    if use_noise:
+        operands = operands + (noise,)
+    kernel = functools.partial(
+        _chains_kernel, step_factory, static_cfg, len(consts), n_chains,
+        c_pad, n_samples, d, steps, use_noise,
+    )
+    vec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = (
+        [smem, smem, smem, smem]
+        + [vec] * len(consts)
+        + [vec] * 8
+        + ([vec] if use_noise else [])
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=tuple(vec for _ in range(9)),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+
+
+class FusedChainsADVI:
+    """C independent mean-field ADVI+STL chains in one whole-loop kernel.
+
+    Per-chain semantics identical to ``FusedADVI`` (adam/ClipScale/
+    polynomial averaging).  Chains share the model and hyperparameters
+    and differ in initial parameters (and their RNG slice).  Use
+    ``run_sharded`` to spread the chain axis over a device mesh (one
+    kernel per device via shard_map).
+    """
+
+    def __init__(
+        self,
+        model: FusedModelSpec,
+        n_chains: int,
+        n_samples: int = 10,
+        lr: float = 1e-3,
+        b1: float = 0.9,
+        b2: float = 0.999,
+        eps: float = 1e-8,
+        avg_eta: float = 8.0,
+        clip_eps: float = 1e-5,
+        interpret: bool = False,
+    ):
+        if n_samples > N_SAMPLES_MAX:
+            raise ValueError(
+                f"fused chains support n_samples <= {N_SAMPLES_MAX}, got "
+                f"{n_samples}"
+            )
+        if model.dim > D_PAD:
+            raise ValueError(
+                f"fused engine supports dim <= {D_PAD}, got {model.dim}"
+            )
+        c_pad = -(-n_chains // 8) * 8
+        if c_pad > C_PAD_MAX:
+            raise ValueError(
+                f"fused chains support n_chains <= {C_PAD_MAX} per kernel "
+                f"(VMEM), got {n_chains}; shard more chains over devices "
+                "with run_sharded"
+            )
+        self.model = model
+        self.dim = model.dim
+        self.n_chains = n_chains
+        self.c_pad = c_pad
+        self.n_samples = n_samples
+        self.lr, self.b1, self.b2, self.eps = lr, b1, b2, eps
+        self.avg_eta, self.clip_eps = avg_eta, clip_eps
+        self.hyp = jnp.array(
+            [lr, b1, b2, eps, avg_eta, clip_eps], jnp.float32
+        )
+        self.interpret = interpret
+
+    def init(
+        self, locations: jax.Array, scale_diags: jax.Array
+    ) -> FusedChainsState:
+        """``locations``/``scale_diags``: (n_chains, d) stacked per-chain
+        initial parameters (e.g. from a jittered common start)."""
+        C, d, cp = self.n_chains, self.dim, self.c_pad
+        if locations.shape != (C, d):
+            raise ValueError(
+                f"expected ({C}, {d}) locations, got {locations.shape}"
+            )
+        if scale_diags.shape != (C, d):
+            raise ValueError(
+                f"expected ({C}, {d}) scale_diags, got {scale_diags.shape}"
+            )
+        mu = jnp.zeros((cp, D_PAD), jnp.float32).at[:C, :d].set(
+            locations.astype(jnp.float32)
+        )
+        sig = jnp.ones((cp, D_PAD), jnp.float32).at[:C, :d].set(
+            scale_diags.astype(jnp.float32)
+        )
+        zeros = jnp.zeros((cp, D_PAD), jnp.float32)
+        return FusedChainsState(
+            mu=mu, sig=sig,
+            m_mu=zeros, v_mu=zeros, m_sig=zeros, v_sig=zeros,
+            avg_mu=mu, avg_sig=sig,
+            iteration=jnp.asarray(0, jnp.int32),
+            elbo=jnp.zeros((cp,), jnp.float32),
+        )
+
+    def run_chunk(
+        self,
+        state: FusedChainsState,
+        key: jax.Array,
+        steps: int,
+        noise: Optional[jax.Array] = None,
+    ) -> FusedChainsState:
+        """Advance every chain ``steps`` iterations in one dispatch.
+
+        ``noise``: optional (steps * n_samples * c_pad, D_PAD) pre-drawn
+        base normals (debug/parity path), row r of a step belonging to
+        chain ``r % c_pad``.  Same chunk-layout RNG caveat as
+        FusedADVI.run_chunk.
+        """
+        R = self.n_samples * self.c_pad
+        use_noise = noise is not None
+        if use_noise:
+            expect = (steps * R, D_PAD)
+            if noise.shape != expect:
+                raise ValueError(
+                    f"noise must have shape {expect} for steps={steps}, "
+                    f"got {noise.shape}"
+                )
+        else:
+            noise = jnp.zeros((R, D_PAD), jnp.float32)
+        seed = key_to_seed(key)
+        it0 = state.iteration.reshape(1)
+        arrays = (
+            state.mu, state.sig, state.m_mu, state.v_mu,
+            state.m_sig, state.v_sig, state.avg_mu, state.avg_sig,
+        )
+        out = _run_chains_chunk(
+            seed, it0, self.hyp, self.model.scalars,
+            tuple(self.model.consts), noise, arrays,
+            step_factory=self.model.step_factory,
+            static_cfg=self.model.static_cfg,
+            n_chains=self.n_chains, c_pad=self.c_pad,
+            n_samples=self.n_samples, d=self.dim, steps=steps,
+            use_noise=use_noise, interpret=self.interpret,
+        )
+        return FusedChainsState(
+            mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
+            m_sig=out[4], v_sig=out[5], avg_mu=out[6], avg_sig=out[7],
+            iteration=state.iteration + steps,
+            elbo=out[8][:, 0],
+        )
+
+    def run_sharded(
+        self,
+        state: FusedChainsState,
+        key: jax.Array,
+        steps: int,
+        mesh,
+        axis: str = "mc",
+    ) -> FusedChainsState:
+        """``run_chunk`` with the chain axis sharded over ``mesh[axis]``:
+        each device runs ONE whole-loop kernel on its contiguous block of
+        chains (chains are embarrassingly parallel — zero collectives).
+
+        Requires n_chains == c_pad (multiple of 8) and divisible by the
+        axis size, with the per-device block still a multiple of 8.
+        Device i advances chains [i*C_loc, (i+1)*C_loc) under key
+        fold_in(key, i) — the result is independent of the device count
+        in distribution (each chain gets its own stream) but not bitwise.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape[axis]
+        if self.n_chains != self.c_pad or self.n_chains % n_dev:
+            raise ValueError(
+                f"run_sharded needs n_chains (= {self.n_chains}) to be a "
+                f"multiple of 8 and of the '{axis}' axis size {n_dev}"
+            )
+        c_loc = self.n_chains // n_dev
+        if c_loc % 8:
+            raise ValueError(
+                f"per-device chain block {c_loc} must be a multiple of 8"
+            )
+        local = FusedChainsADVI(
+            self.model, c_loc, n_samples=self.n_samples, lr=self.lr,
+            b1=self.b1, b2=self.b2, eps=self.eps, avg_eta=self.avg_eta,
+            clip_eps=self.clip_eps, interpret=self.interpret,
+        )
+
+        def shard_fn(st: FusedChainsState) -> FusedChainsState:
+            dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            return local.run_chunk(st, dev_key, steps)
+
+        spec_leaf = P(axis)
+        specs = FusedChainsState(
+            mu=spec_leaf, sig=spec_leaf, m_mu=spec_leaf, v_mu=spec_leaf,
+            m_sig=spec_leaf, v_sig=spec_leaf, avg_mu=spec_leaf,
+            avg_sig=spec_leaf, iteration=P(), elbo=spec_leaf,
+        )
+        # check_vma=False: pallas_call out_shapes carry no vma annotation
+        return jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(specs,), out_specs=specs,
+            check_vma=False,
+        )(state)
+
+    def q(self, state: FusedChainsState, averaged: bool = True):
+        """Stacked MeanFieldGaussian with (n_chains, d) leaves — directly
+        consumable by parallel.chains helpers (scoring, best_chain)."""
+        from ...families.location_scale import MeanFieldGaussian
+
+        C, d = self.n_chains, self.dim
+        mu = state.avg_mu if averaged else state.mu
+        sig = state.avg_sig if averaged else state.sig
+        return MeanFieldGaussian(mu[:C, :d], sig[:C, :d])

@@ -1,0 +1,226 @@
+"""Parity tests for the multi-chain fused engine (ops/pallas/fused_chains).
+
+Each chain of FusedChainsADVI must reproduce the general path exactly
+under injected noise — C chains in one kernel vs C independent
+KLMinRepGradDescent runs consuming the same per-chain base draws.  The
+sharded path (shard_map over the chain axis) must equal the unsharded
+kernel on the CPU mesh (RNG stubbed to zeros by InterpretParams, so both
+sides see identical draws).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from numpy.testing import assert_allclose
+
+import advancedvi_jl_tpu as avt
+from advancedvi_jl_tpu.models.logreg import make_logreg
+from advancedvi_jl_tpu.ops.pallas.fused_advi import D_PAD, logreg_spec
+from advancedvi_jl_tpu.ops.pallas.fused_chains import (
+    FusedChainsADVI,
+    FusedChainsState,
+)
+
+T = 4
+N_SAMPLES = 6
+C = 3  # real chains (c_pad = 8)
+
+
+@pytest.fixture(scope="module")
+def flagship():
+    prob = make_logreg(jax.random.key(11), n_data=208, n_features=60)
+    return prob, prob.unconstrained()
+
+
+def test_fused_chains_match_general_path(flagship):
+    """Chain c of the fused multi-chain kernel == an independent
+    general-path run from chain c's q0 on chain c's draws."""
+    prob, target = flagship
+    d = prob.dim
+    rng = np.random.default_rng(3)
+    # per-chain initial parameters and per-(step, chain) draws
+    locs = jnp.asarray(rng.normal(0, 0.3, (C, d)).astype(np.float32))
+    sds = jnp.asarray(
+        rng.uniform(0.05, 0.2, (C, d)).astype(np.float32)
+    )
+    draws = rng.standard_normal((T, C, N_SAMPLES, d)).astype(np.float32)
+
+    # general path per chain
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=N_SAMPLES,
+        optimizer=optax.adam(1e-3), operator=avt.ClipScale(),
+    )
+    finals = []
+    for c in range(C):
+        q0 = avt.MeanFieldGaussian(locs[c], sds[c])
+        q = q0
+        opt_state = alg.optimizer.init(q0)
+        avg_state = alg.averager.init(q0)
+        for t in range(T):
+            # manual step consuming the injected draw (mirrors
+            # test_fused_advi's manual-loop harness)
+            u = jnp.asarray(draws[t, c])
+
+            def loss(params, u=u):
+                m, s = params
+                z = m + s * u
+                energy = jnp.mean(
+                    jax.vmap(target.log_density)(z)
+                )
+                ms, ss = jax.lax.stop_gradient((m, s))
+                logq = (
+                    -0.5 * jnp.sum(((z - ms) / ss) ** 2, axis=1)
+                    - jnp.sum(jnp.log(ss))
+                    - 0.5 * d * np.log(2 * np.pi)
+                )
+                return -(energy - jnp.mean(logq))
+
+            g = jax.grad(loss)((q.location, q.scale_diag))
+            grad_q = q.replace(location=g[0], scale_diag=g[1])
+            upd, opt_state = alg.optimizer.update(grad_q, opt_state, q)
+            q = optax.apply_updates(q, upd)
+            q = avt.ClipScale().apply(q, opt_state)
+            avg_state = alg.averager.apply(avg_state, q)
+        finals.append((q, alg.averager.value(avg_state)))
+
+    # fused chains on the same draws
+    eng = FusedChainsADVI(
+        logreg_spec(prob.X, prob.y, prior_scale=prob.prior_scale,
+                    likeadj=float(prob.likeadj)),
+        n_chains=C, n_samples=N_SAMPLES, lr=1e-3, interpret=True,
+    )
+    R = eng.n_samples * eng.c_pad
+    noise = np.zeros((T * R, D_PAD), np.float32)
+    for t in range(T):
+        for s in range(N_SAMPLES):
+            for c in range(C):
+                noise[t * R + s * eng.c_pad + c, :d] = draws[t, c, s]
+    f = eng.init(locs, sds)
+    f = eng.run_chunk(f, jax.random.key(1), steps=T,
+                      noise=jnp.asarray(noise))
+
+    for c in range(C):
+        q_c, q_avg_c = finals[c]
+        assert_allclose(f.mu[c, :d], q_c.location, rtol=1e-5, atol=1e-6)
+        assert_allclose(f.sig[c, :d], q_c.scale_diag, rtol=1e-5, atol=1e-6)
+        assert_allclose(
+            f.avg_mu[c, :d], q_avg_c.location, rtol=1e-5, atol=1e-6
+        )
+        assert_allclose(
+            f.avg_sig[c, :d], q_avg_c.scale_diag, rtol=1e-5, atol=1e-6
+        )
+    # stacked-family output shape
+    qs = eng.q(f)
+    assert qs.location.shape == (C, d)
+    # padding inert
+    assert np.all(np.asarray(f.sig[C:, :]) == 1.0)
+    assert np.all(np.asarray(f.m_mu[C:, :]) == 0.0)
+    assert f.iteration == T
+
+
+def test_fused_chains_elbo_matches_single_engine(flagship):
+    """The per-chain in-kernel ELBO equals FusedADVI's for the same
+    draws (chain 0 only, cross-engine consistency)."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        N_PAD,
+        FusedLogRegADVI,
+    )
+
+    prob, _ = flagship
+    d = prob.dim
+    rng = np.random.default_rng(5)
+    draws = rng.standard_normal((T, N_SAMPLES, d)).astype(np.float32)
+    loc0 = jnp.zeros(d)
+    sd0 = 0.1 * jnp.ones(d)
+
+    single = FusedLogRegADVI(
+        prob.X, prob.y, prior_scale=prob.prior_scale,
+        likeadj=float(prob.likeadj), n_samples=N_SAMPLES, lr=1e-3,
+        interpret=True,
+    )
+    noise_s = np.zeros((T * N_PAD, D_PAD), np.float32)
+    for t in range(T):
+        noise_s[t * N_PAD : t * N_PAD + N_SAMPLES, :d] = draws[t]
+    fs = single.run_chunk(
+        single.init(loc0, sd0), jax.random.key(0), steps=T,
+        noise=jnp.asarray(noise_s),
+    )
+
+    eng = FusedChainsADVI(
+        logreg_spec(prob.X, prob.y, prior_scale=prob.prior_scale,
+                    likeadj=float(prob.likeadj)),
+        n_chains=1, n_samples=N_SAMPLES, lr=1e-3, interpret=True,
+    )
+    R = eng.n_samples * eng.c_pad
+    noise_c = np.zeros((T * R, D_PAD), np.float32)
+    for t in range(T):
+        for s in range(N_SAMPLES):
+            noise_c[t * R + s * eng.c_pad + 0, :d] = draws[t, s]
+    fc = eng.run_chunk(
+        eng.init(loc0[None], sd0[None]), jax.random.key(0), steps=T,
+        noise=jnp.asarray(noise_c),
+    )
+    assert_allclose(fc.mu[0], fs.mu[0], rtol=1e-6, atol=1e-7)
+    assert_allclose(fc.sig[0], fs.sig[0], rtol=1e-6, atol=1e-7)
+    assert_allclose(
+        float(fc.elbo[0]), float(fs.elbo), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_chains_sharded_equals_unsharded(flagship):
+    """shard_map over the chain axis == the unsharded kernel on the CPU
+    mesh.  InterpretParams stubs the on-chip RNG to zeros on BOTH sides,
+    so the comparison is exact (per-device key folding is inert)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from advancedvi_jl_tpu.parallel.mesh import MC_AXIS, make_vi_mesh
+
+    prob, _ = flagship
+    d = prob.dim
+    n_chains = 16  # 8 devices x 2... per-device block must be mult of 8
+    n_dev = 2
+    mesh = make_vi_mesh(n_mc=n_dev, devices=jax.devices()[:n_dev])
+    eng = FusedChainsADVI(
+        logreg_spec(prob.X, prob.y), n_chains=n_chains, n_samples=4,
+        interpret=pltpu.InterpretParams(),
+    )
+    rng = np.random.default_rng(0)
+    locs = jnp.asarray(rng.normal(0, 0.2, (n_chains, d)).astype(np.float32))
+    sds = 0.1 * jnp.ones((n_chains, d), jnp.float32)
+    f0 = eng.init(locs, sds)
+
+    f_plain = eng.run_chunk(f0, jax.random.key(0), steps=3)
+    f_shard = eng.run_sharded(f0, jax.random.key(0), steps=3, mesh=mesh,
+                              axis=MC_AXIS)
+    for a, b in zip(f_plain[:8], f_shard[:8]):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    assert int(f_shard.iteration) == 3
+
+
+def test_fused_chains_validation(flagship):
+    prob, _ = flagship
+    spec = logreg_spec(prob.X, prob.y)
+    with pytest.raises(ValueError, match="n_chains"):
+        FusedChainsADVI(spec, n_chains=500)
+    with pytest.raises(ValueError, match="n_samples"):
+        FusedChainsADVI(spec, n_chains=8, n_samples=64)
+    eng = FusedChainsADVI(spec, n_chains=8, interpret=True)
+    with pytest.raises(ValueError, match="locations"):
+        eng.init(jnp.zeros((4, prob.dim)), jnp.ones((4, prob.dim)))
+    with pytest.raises(ValueError, match="multiple of 8"):
+        eng2 = FusedChainsADVI(spec, n_chains=16, interpret=True)
+        from advancedvi_jl_tpu.parallel.mesh import make_vi_mesh
+
+        mesh = make_vi_mesh(n_mc=4, devices=jax.devices()[:4])
+        st = eng2.init(
+            jnp.zeros((16, prob.dim)), 0.1 * jnp.ones((16, prob.dim))
+        )
+        eng2.run_sharded(st, jax.random.key(0), 2, mesh)
+    with pytest.raises(ValueError, match="noise"):
+        st8 = eng.init(
+            jnp.zeros((8, prob.dim)), 0.1 * jnp.ones((8, prob.dim))
+        )
+        eng.run_chunk(st8, jax.random.key(0), steps=2,
+                      noise=jnp.zeros((8, D_PAD)))
