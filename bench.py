@@ -22,6 +22,7 @@ design constraint):
   2. general-path comparison (alg.step under a 20k-step scan): stderr only.
   3. perf regression gate vs the last parsed BENCH_r*.json: stderr only;
      it runs after the JSON is out so it can never destroy the artifact.
+  4. multi-chain fused aggregate (C=128 chains in one kernel): stderr only.
 
 Convergence is REPORTED (``converged`` field, general-path elbo lands
 ~-103 at this horizon), never asserted — a diverged run still records its
@@ -175,6 +176,34 @@ def main():
         log(verdict)
     except Exception as exc:
         log(f"perf gate errored (artifact unaffected): {exc!r}")
+
+    # ---- stage 4: multi-chain fused aggregate (stderr only) ----
+    try:
+        from advancedvi_jl_tpu.ops.pallas.fused_advi import logreg_spec
+        from advancedvi_jl_tpu.ops.pallas.fused_chains import FusedChainsADVI
+
+        C, csteps = 128, 20_000
+        eng_c = FusedChainsADVI(
+            logreg_spec(prob.X, prob.y), n_chains=C,
+            n_samples=cfg["n_samples"], lr=cfg["lr"],
+        )
+        locs = 0.3 * jax.random.normal(jax.random.key(1), (C, d))
+        st_c = eng_c.init(locs, 0.1 * jnp.ones((C, d)))
+        key_c = jax.random.key(7)
+        run_c = jax.jit(lambda s: eng_c.run_chunk(s, key_c, steps=csteps))
+        t0 = time.time()
+        st_c = run_c(st_c)
+        _ = float(jax.device_get(st_c.elbo[0]))
+        t1 = time.time()
+        st_c = run_c(st_c)
+        _ = float(jax.device_get(st_c.elbo[0]))
+        agg = C * csteps / (time.time() - t1)
+        log(
+            f"fused chains C={C}: {agg/1e6:.2f}M aggregate chain-steps/s "
+            f"(compile {t1 - t0:.1f}s)"
+        )
+    except Exception as exc:
+        log(f"fused chains stage FAILED (artifact unaffected): {exc!r}")
 
     log(f"total bench wall-clock: {time.time() - t_start:.1f}s")
 

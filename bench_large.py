@@ -74,6 +74,27 @@ def bench_bnn():
         )
     )
 
+    # Polyak-averaged proximal descent on the same BNN posterior — the last
+    # BASELINE.md "measured configs" row (KLMinRepGradProxDescent + polynomial
+    # averaging, DoWG step size, closed-form entropy prox).
+    alg_px = avt.KLMinRepGradProxDescent(
+        entropy_zerograd=avt.CLOSED_FORM_ZERO_GRAD, n_samples=16,
+        subsampling=sub, optimizer=avt.dowg(),
+        averager=avt.PolynomialAveraging(),
+    )
+    state_px = alg_px.init(jax.random.key(0, impl="rbg"), q0, bnn)
+    sps_px, elbo_px = _time_chunk(alg_px, state_px, 200)
+    print(
+        json.dumps(
+            {
+                "metric": "bnn_8704param_proxdescent_steps_per_s",
+                "value": round(sps_px, 1),
+                "unit": "steps/s",
+                "elbo_after_chunks": round(float(elbo_px), 1),
+            }
+        )
+    )
+
 
 def bench_fullrank_pallas():
     import advancedvi_jl_tpu as avt
