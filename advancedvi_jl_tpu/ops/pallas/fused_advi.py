@@ -76,8 +76,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .location_scale_kernels import _box_muller, key_to_seed
 
-D_PAD = 128     # lane-padded parameter dimension (d <= 128)
+D_PAD = 128     # default lane-padded parameter dimension (one lane tile)
 N_PAD = 16      # sublane-padded sample count (n_samples <= 16)
+D_PAD_MAX = 2048  # mean-field engines: widest supported lane padding
+
+
+def d_pad_for(d: int) -> int:
+    """Lane padding for a d-dim model: the next multiple of 128.  The
+    mean-field engines are fully parametric in this width (state rows are
+    (1, d_pad), sample blocks (N_PAD, d_pad)); full-rank engines are
+    capped at one lane tile (d <= 128) because the in-kernel
+    back-substitution unrolls over d rows."""
+    return max(D_PAD, -(-d // D_PAD) * D_PAD)
+
+
 _L2PI = math.log(2.0 * math.pi)
 _GOLD = -1640531527  # int32 golden-ratio mix (as the samplers)
 
@@ -172,7 +184,7 @@ def _backsub_ct(C, u, d, lane):
     v = jnp.zeros_like(u)
     for j in range(d - 1, -1, -1):
         onehot = (lane == j).astype(jnp.float32)          # (1, D_PAD)
-        crow = C[j, :].reshape(1, D_PAD)                  # static row slice
+        crow = C[j, :].reshape(1, C.shape[1])             # static row slice
         cjj = jnp.sum(crow * onehot)
         vj = jnp.sum(r * onehot, axis=1, keepdims=True) / cjj  # (N_PAD, 1)
         v = v + vj * onehot
@@ -238,10 +250,13 @@ def _kernel(
         # debug path so interpret mode never touches TPU RNG primitives.
         pltpu.prng_seed(seed_ref[0] + it0 * _GOLD, seed_ref[1])
 
-    # masks (f32): valid q dims j < d; sample rows < n_samples
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D_PAD), 1)
+    # masks (f32): valid q dims j < d; sample rows < n_samples.
+    # Lane width is read off the state refs (static at trace time), so the
+    # kernel is fully parametric in d_pad (mean-field d > 128 support).
+    dp = state_in[0].shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dp), 1)
     maskd = (lane < d).astype(jnp.float32)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (N_PAD, D_PAD), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (N_PAD, dp), 0)
     maskn = (rowi < n_samples).astype(jnp.float32)
     masks = Masks(lane=lane, maskd=maskd, maskn=maskn, d=d,
                   n_samples=n_samples)
@@ -250,8 +265,8 @@ def _kernel(
 
     if family == FULLRANK:
         # lane/sublane iotas for the (D_PAD, D_PAD) scale block
-        ri = jax.lax.broadcasted_iota(jnp.int32, (D_PAD, D_PAD), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (D_PAD, D_PAD), 1)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (dp, dp), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (dp, dp), 1)
         tril_d = ((ri >= ci) & (ri < d) & (ci < d)).astype(jnp.float32)
         eye = (ri == ci).astype(jnp.float32)
         diag_d = eye * (ri < d).astype(jnp.float32)
@@ -271,7 +286,7 @@ def _kernel(
             # chunk-local row: block offset + in-block index (traced grid)
             u = noise_ref[pl.ds((block_off + i) * N_PAD, N_PAD), :]
         else:
-            u = _box_muller((N_PAD, D_PAD))
+            u = _box_muller((N_PAD, dp))
         u = u * maskn * maskd
 
         if family == MEANFIELD:
@@ -404,7 +419,7 @@ def _kernel(
     vsig_o[:] = v_sig
     amu_o[:] = a_mu
     asig_o[:] = a_sig
-    elbo_o[:] = jnp.full((1, D_PAD), elbo)
+    elbo_o[:] = jnp.full((1, dp), elbo)
     if traced:
         # this grid step's row of the thinned ELBO trace.  The trace buffer
         # is a FULL-array block (constant index map, resident in VMEM for
@@ -413,7 +428,7 @@ def _kernel(
         # full block is exempt.  One dynamic row store per GRID step — not
         # per loop iteration, so the 19-minute per-step-dynamic-store
         # compile hazard (BENCH_NOTES round 4) does not apply.
-        trace_o[pl.ds(pl.program_id(0), 1)] = jnp.full((1, D_PAD), elbo)
+        trace_o[pl.ds(pl.program_id(0), 1)] = jnp.full((1, dp), elbo)
 
 
 @functools.partial(
@@ -421,22 +436,23 @@ def _kernel(
     static_argnames=(
         "family", "step_factory", "static_cfg", "n_samples", "d", "steps",
         "use_noise", "interpret", "log_every", "algo", "entropy",
+        "d_pad",
     ),
 )
 def _run_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     family, step_factory, static_cfg, n_samples, d, steps, use_noise,
-    interpret, log_every=0, algo=ALGO_ADAM, entropy=ENT_STL,
+    interpret, log_every=0, algo=ALGO_ADAM, entropy=ENT_STL, d_pad=D_PAD,
 ):
     scale_shape = (
-        (1, D_PAD) if family == MEANFIELD else (D_PAD, D_PAD)
+        (1, d_pad) if family == MEANFIELD else (d_pad, d_pad)
     )
-    shapes = [(1, D_PAD), scale_shape] + [(1, D_PAD), (1, D_PAD)] + [
+    shapes = [(1, d_pad), scale_shape] + [(1, d_pad), (1, d_pad)] + [
         scale_shape, scale_shape,
-    ] + [(1, D_PAD), scale_shape]
+    ] + [(1, d_pad), scale_shape]
     out_shape = tuple(
         jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes
-    ) + (jax.ShapeDtypeStruct((1, D_PAD), jnp.float32),)
+    ) + (jax.ShapeDtypeStruct((1, d_pad), jnp.float32),)
     operands = (seed, it0, hyp, mscal) + tuple(consts) + tuple(state_arrays)
     if use_noise:
         operands = operands + (noise,)
@@ -483,7 +499,7 @@ def _run_chunk(
         [whole(x, pltpu.SMEM) for x in operands[:4]]
         + [whole(x) for x in operands[4:]]
     )
-    trace_struct = jax.ShapeDtypeStruct((G, D_PAD), jnp.float32)
+    trace_struct = jax.ShapeDtypeStruct((G, d_pad), jnp.float32)
     out_specs = tuple(whole(s) for s in out_shape) + (
         whole(trace_struct),
     )
@@ -576,12 +592,13 @@ def logreg_spec(
     sigma) as a fused-engine model; gradient derivation in the module
     docstring."""
     n_data, db = X.shape
-    if db + 1 > D_PAD:
+    if db + 1 > D_PAD_MAX:
         raise ValueError(
-            f"fused engine supports dim <= {D_PAD}, got {db + 1}"
+            f"fused engine supports dim <= {D_PAD_MAX}, got {db + 1}"
         )
+    dp = d_pad_for(db + 1)
     data_pad = -(-n_data // 256) * 256
-    X_pad = jnp.zeros((data_pad, D_PAD), jnp.float32).at[:n_data, :db].set(
+    X_pad = jnp.zeros((data_pad, dp), jnp.float32).at[:n_data, :db].set(
         X.astype(jnp.float32)
     )
     y_pad = jnp.zeros((1, data_pad), jnp.float32).at[0, :n_data].set(
@@ -653,14 +670,15 @@ def _pack_minibatch_consts(Xp, yp, B, db):
     """(X_perm padded to lanes, per-batch sum_j y_j X_j rows)."""
     n_used = Xp.shape[0]
     nb = n_used // B
-    X_pad = jnp.zeros((n_used, D_PAD), jnp.float32).at[:, :db].set(
+    dp = d_pad_for(db + 1)
+    X_pad = jnp.zeros((n_used, dp), jnp.float32).at[:, :db].set(
         Xp.astype(jnp.float32)
     )
     yX = (yp.astype(jnp.float32)[:, None] * Xp.astype(jnp.float32)).reshape(
         nb, B, -1
     ).sum(axis=1)
     nb_pad = -(-nb // 8) * 8
-    yX_pad = jnp.zeros((nb_pad, D_PAD), jnp.float32).at[:nb, :db].set(yX)
+    yX_pad = jnp.zeros((nb_pad, dp), jnp.float32).at[:nb, :db].set(yX)
     return (X_pad, yX_pad)
 
 
@@ -689,9 +707,9 @@ def logreg_minibatch_spec(
     VMEM: n_data * 512 bytes <= ~12 MB, i.e. n_data <~ 24k.
     """
     n_data, db = X.shape
-    if db + 1 > D_PAD:
+    if db + 1 > D_PAD_MAX:
         raise ValueError(
-            f"fused engine supports dim <= {D_PAD}, got {db + 1}"
+            f"fused engine supports dim <= {D_PAD_MAX}, got {db + 1}"
         )
     if batch_size % 8 != 0:
         raise ValueError(f"batch_size must be a multiple of 8, got {batch_size}")
@@ -754,14 +772,15 @@ def gaussian_spec(mean: jax.Array, stddev: jax.Array) -> FusedModelSpec:
     mean = jnp.asarray(mean, jnp.float32)
     stddev = jnp.asarray(stddev, jnp.float32)
     d = mean.shape[0]
-    if d > D_PAD:
-        raise ValueError(f"fused engine supports dim <= {D_PAD}, got {d}")
+    if d > D_PAD_MAX:
+        raise ValueError(f"fused engine supports dim <= {D_PAD_MAX}, got {d}")
+    dp = d_pad_for(d)
     lognorm = float(
         -jnp.sum(jnp.log(stddev)) - 0.5 * d * _L2PI
     )
     return FusedModelSpec(
         dim=d,
-        consts=(_pad_lane(mean), _pad_lane(1.0 / (stddev * stddev))),
+        consts=(_pad_lane(mean, dp), _pad_lane(1.0 / (stddev * stddev), dp)),
         scalars=jnp.array([lognorm], jnp.float32),
         step_factory=_gaussian_step_factory,
         static_cfg=(d,),
@@ -797,19 +816,20 @@ def mvnormal_spec(mean: jax.Array, scale_tril: jax.Array) -> FusedModelSpec:
     mean = jnp.asarray(mean, jnp.float32)
     L = jnp.asarray(scale_tril, jnp.float32)
     d = mean.shape[0]
-    if d > D_PAD:
-        raise ValueError(f"fused engine supports dim <= {D_PAD}, got {d}")
+    if d > D_PAD_MAX:
+        raise ValueError(f"fused engine supports dim <= {D_PAD_MAX}, got {d}")
+    dp = d_pad_for(d)
     from jax.scipy.linalg import solve_triangular
 
     Linv = solve_triangular(L, jnp.eye(d, dtype=jnp.float32), lower=True)
     prec = Linv.T @ Linv
-    prec_pad = jnp.zeros((D_PAD, D_PAD), jnp.float32).at[:d, :d].set(prec)
+    prec_pad = jnp.zeros((dp, dp), jnp.float32).at[:d, :d].set(prec)
     lognorm = float(
         -jnp.sum(jnp.log(jnp.abs(jnp.diag(L)))) - 0.5 * d * _L2PI
     )
     return FusedModelSpec(
         dim=d,
-        consts=(_pad_lane(mean), prec_pad),
+        consts=(_pad_lane(mean, dp), prec_pad),
         scalars=jnp.array([lognorm], jnp.float32),
         step_factory=_mvnormal_step_factory,
         static_cfg=(d,),
@@ -895,11 +915,18 @@ class FusedADVI:
             raise ValueError(
                 f"fused engine supports n_samples <= {N_PAD}, got {n_samples}"
             )
-        if model.dim > D_PAD:
+        if model.dim > D_PAD_MAX:
             raise ValueError(
-                f"fused engine supports dim <= {D_PAD}, got {model.dim}"
+                f"fused engine supports dim <= {D_PAD_MAX}, got {model.dim}"
+            )
+        if family == FULLRANK and model.dim > D_PAD:
+            raise ValueError(
+                f"the full-rank fused engine supports dim <= {D_PAD} (the "
+                f"in-kernel back-substitution unrolls over d rows), got "
+                f"{model.dim}"
             )
         self.model = model
+        self.d_pad = d_pad_for(model.dim)
         self.family = family
         self.dim = model.dim
         self.n_samples = n_samples
@@ -914,8 +941,8 @@ class FusedADVI:
 
     def _scale_zeros(self):
         if self.family == MEANFIELD:
-            return jnp.zeros((1, D_PAD), jnp.float32)
-        return jnp.zeros((D_PAD, D_PAD), jnp.float32)
+            return jnp.zeros((1, self.d_pad), jnp.float32)
+        return jnp.zeros((self.d_pad, self.d_pad), jnp.float32)
 
     def init(self, location: jax.Array, scale: jax.Array) -> FusedADVIState:
         """``scale``: the (d,) diagonal (mean-field) or (d, d)
@@ -923,20 +950,20 @@ class FusedADVI:
         d = self.dim
         if location.shape != (d,):
             raise ValueError(f"expected ({d},) location, got {location.shape}")
-        mu = _pad_lane(location)
+        mu = _pad_lane(location, self.d_pad)
         if self.family == MEANFIELD:
             if scale.shape != (d,):
                 raise ValueError(
                     f"expected ({d},) scale_diag, got {scale.shape}"
                 )
-            sig = _pad_lane(scale, fill=1.0)  # padded lanes 1.0: inert
+            sig = _pad_lane(scale, self.d_pad, fill=1.0)  # padding 1.0: inert
         else:
             if scale.shape != (d, d):
                 raise ValueError(
                     f"expected ({d}, {d}) tril scale, got {scale.shape}"
                 )
-            sig = _pad_tril(scale)
-        zeros = jnp.zeros((1, D_PAD), jnp.float32)
+            sig = _pad_tril(scale, self.d_pad)
+        zeros = jnp.zeros((1, self.d_pad), jnp.float32)
         zeros_s = self._scale_zeros()
         if self.algo == ALGO_DOWG:
             # DoWG state rides the Adam slots: m_* = x0 copies, v_mu =
@@ -1010,14 +1037,14 @@ class FusedADVI:
     def _run(self, state, key, steps, noise, log_every):
         use_noise = noise is not None
         if use_noise:
-            expect = (steps * N_PAD, D_PAD)
+            expect = (steps * N_PAD, self.d_pad)
             if noise.shape != expect:
                 raise ValueError(
                     f"noise must have shape {expect} for steps={steps}, "
                     f"got {noise.shape}"
                 )
         else:
-            noise = jnp.zeros((N_PAD, D_PAD), jnp.float32)
+            noise = jnp.zeros((N_PAD, self.d_pad), jnp.float32)
         seed = key_to_seed(key)
         it0 = state.iteration.reshape(1)
         arrays = (
@@ -1031,7 +1058,7 @@ class FusedADVI:
             static_cfg=self.model.static_cfg, n_samples=self.n_samples,
             d=self.dim, steps=steps, use_noise=use_noise,
             interpret=self.interpret, log_every=log_every,
-            algo=self.algo, entropy=self.entropy,
+            algo=self.algo, entropy=self.entropy, d_pad=self.d_pad,
         )
         new_state = FusedADVIState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],

@@ -44,10 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_advi import (
     D_PAD,
+    D_PAD_MAX,
     _GOLD,
     FusedModelSpec,
     Masks,
     _box_muller,
+    d_pad_for,
 )
 from .location_scale_kernels import key_to_seed
 
@@ -100,9 +102,10 @@ def _chains_kernel(
         pltpu.prng_seed(seed_ref[0] + it0 * _GOLD, seed_ref[1])
 
     R = n_samples * c_pad
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, D_PAD), 1)
+    dp = state_in[0].shape[1]      # lane width, static at trace time
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, dp), 1)
     maskd = (lane < d).astype(jnp.float32)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (R, D_PAD), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (R, dp), 0)
     # row r belongs to chain r % c_pad; rows of padded chains are invalid
     maskR = (jax.lax.rem(rowi, c_pad) < n_chains).astype(jnp.float32)
     masks = Masks(lane=lane, maskd=maskd, maskn=maskR, d=d,
@@ -131,7 +134,7 @@ def _chains_kernel(
         if use_noise:
             u = noise_ref[pl.ds(i * R, R), :]
         else:
-            u = _box_muller((R, D_PAD))
+            u = _box_muller((R, dp))
         u = u * maskR * maskd
 
         sig_rows = rows(sig)
@@ -191,22 +194,22 @@ def _chains_kernel(
     vsig_o[:] = v_sig
     amu_o[:] = a_mu
     asig_o[:] = a_sig
-    elbo_o[:] = elbo_c + jnp.zeros((c_pad, D_PAD), jnp.float32)
+    elbo_o[:] = elbo_c + jnp.zeros((c_pad, dp), jnp.float32)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "step_factory", "static_cfg", "n_chains", "c_pad", "n_samples",
-        "d", "steps", "use_noise", "interpret",
+        "d", "steps", "use_noise", "interpret", "d_pad",
     ),
 )
 def _run_chains_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     step_factory, static_cfg, n_chains, c_pad, n_samples, d, steps,
-    use_noise, interpret,
+    use_noise, interpret, d_pad=D_PAD,
 ):
-    shape = (c_pad, D_PAD)
+    shape = (c_pad, d_pad)
     out_shape = tuple(
         jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(9)
     )
@@ -262,18 +265,23 @@ class FusedChainsADVI:
                 f"fused chains support n_samples <= {N_SAMPLES_MAX}, got "
                 f"{n_samples}"
             )
-        if model.dim > D_PAD:
+        if model.dim > D_PAD_MAX:
             raise ValueError(
-                f"fused engine supports dim <= {D_PAD}, got {model.dim}"
+                f"fused engine supports dim <= {D_PAD_MAX}, got {model.dim}"
             )
         c_pad = -(-n_chains // 8) * 8
-        if c_pad > C_PAD_MAX:
+        d_pad = d_pad_for(model.dim)
+        # VMEM budget: the (R, d_pad) sample blocks must stay small; cap
+        # the row-block footprint at the validated C=128 x d_pad=128 size.
+        if c_pad * d_pad > C_PAD_MAX * D_PAD:
             raise ValueError(
-                f"fused chains support n_chains <= {C_PAD_MAX} per kernel "
-                f"(VMEM), got {n_chains}; shard more chains over devices "
-                "with run_sharded"
+                f"fused chains support n_chains * d_pad <= "
+                f"{C_PAD_MAX * D_PAD} per kernel (VMEM), got "
+                f"{c_pad} * {d_pad}; shard more chains over devices with "
+                "run_sharded"
             )
         self.model = model
+        self.d_pad = d_pad
         self.dim = model.dim
         self.n_chains = n_chains
         self.c_pad = c_pad
@@ -299,13 +307,13 @@ class FusedChainsADVI:
             raise ValueError(
                 f"expected ({C}, {d}) scale_diags, got {scale_diags.shape}"
             )
-        mu = jnp.zeros((cp, D_PAD), jnp.float32).at[:C, :d].set(
+        mu = jnp.zeros((cp, self.d_pad), jnp.float32).at[:C, :d].set(
             locations.astype(jnp.float32)
         )
-        sig = jnp.ones((cp, D_PAD), jnp.float32).at[:C, :d].set(
+        sig = jnp.ones((cp, self.d_pad), jnp.float32).at[:C, :d].set(
             scale_diags.astype(jnp.float32)
         )
-        zeros = jnp.zeros((cp, D_PAD), jnp.float32)
+        zeros = jnp.zeros((cp, self.d_pad), jnp.float32)
         return FusedChainsState(
             mu=mu, sig=sig,
             m_mu=zeros, v_mu=zeros, m_sig=zeros, v_sig=zeros,
@@ -331,14 +339,14 @@ class FusedChainsADVI:
         R = self.n_samples * self.c_pad
         use_noise = noise is not None
         if use_noise:
-            expect = (steps * R, D_PAD)
+            expect = (steps * R, self.d_pad)
             if noise.shape != expect:
                 raise ValueError(
                     f"noise must have shape {expect} for steps={steps}, "
                     f"got {noise.shape}"
                 )
         else:
-            noise = jnp.zeros((R, D_PAD), jnp.float32)
+            noise = jnp.zeros((R, self.d_pad), jnp.float32)
         seed = key_to_seed(key)
         it0 = state.iteration.reshape(1)
         arrays = (
@@ -353,6 +361,7 @@ class FusedChainsADVI:
             n_chains=self.n_chains, c_pad=self.c_pad,
             n_samples=self.n_samples, d=self.dim, steps=steps,
             use_noise=use_noise, interpret=self.interpret,
+            d_pad=self.d_pad,
         )
         return FusedChainsState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],

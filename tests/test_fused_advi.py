@@ -62,8 +62,8 @@ def _run_general_path(target, q0, steps):
     return alg, state, draws, infos
 
 
-def _pack_noise(draws):
-    noise = np.zeros((len(draws) * N_PAD, D_PAD), np.float32)
+def _pack_noise(draws, d_pad=D_PAD):
+    noise = np.zeros((len(draws) * N_PAD, d_pad), np.float32)
     for t, u in enumerate(draws):
         noise[t * N_PAD : t * N_PAD + u.shape[0], : u.shape[1]] = u
     return jnp.asarray(noise)
@@ -292,11 +292,17 @@ def test_fused_noise_shape_validated(flagship):
 
 
 def test_gaussian_spec_rejects_large_dim():
+    # mean-field engines are parametric in the lane width up to D_PAD_MAX;
+    # beyond that (and for full-rank beyond one lane tile) they reject.
     with pytest.raises(ValueError, match="dim"):
-        gaussian_spec(jnp.zeros(200), jnp.ones(200))
+        gaussian_spec(jnp.zeros(3000), jnp.ones(3000))
     with pytest.raises(ValueError, match="family"):
         FusedADVI(
             gaussian_spec(jnp.zeros(4), jnp.ones(4)), family="lowrank"
+        )
+    with pytest.raises(ValueError, match="full-rank"):
+        FusedADVI(
+            gaussian_spec(jnp.zeros(200), jnp.ones(200)), family=FULLRANK
         )
 
 
@@ -337,7 +343,7 @@ def test_bench_config_matches_engine_defaults(flagship):
 
 
 def test_fused_validation():
-    X = jnp.zeros((8, 200))
+    X = jnp.zeros((8, 3000))
     y = jnp.zeros((8,))
     with pytest.raises(ValueError, match="dim"):
         FusedLogRegADVI(X, y)
@@ -484,6 +490,45 @@ def test_fused_optimize_bookkeeping(flagship, monkeypatch):
             jax.random.key(0), 1_000, state=eng2_state,
             chunk_size=1_000, log_every=100,
         )
+
+
+def test_fused_wide_model_matches_general_path():
+    """d = 200 (two lane tiles, d_pad = 256): the mean-field engine is
+    parametric in the lane width — parity against the general path on a
+    wide logreg."""
+    prob = make_logreg(jax.random.key(4), n_data=96, n_features=198)
+    target = prob.unconstrained()
+    d = prob.dim
+    assert d == 200
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=N_SAMPLES,
+        optimizer=optax.adam(1e-3), operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    state, draws, infos = _run_general(alg, state, 3, N_SAMPLES)
+
+    engine = FusedADVI(
+        logreg_spec(prob.X, prob.y, prior_scale=prob.prior_scale,
+                    likeadj=float(prob.likeadj)),
+        n_samples=N_SAMPLES, lr=1e-3, interpret=True,
+    )
+    assert engine.d_pad == 256
+    fstate = engine.init(q0.location, q0.scale_diag)
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=3,
+        noise=_pack_noise(draws, engine.d_pad),
+    )
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        fstate.sig[0, :d], state.q.scale_diag, rtol=1e-5, atol=1e-6
+    )
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+    # padding inert across both lane tiles
+    assert np.all(np.asarray(fstate.sig[0, d:]) == 1.0)
 
 
 def test_fused_entropy_names_match_library_constants():
