@@ -855,6 +855,17 @@ def fused_spec_for(target) -> FusedModelSpec:
         return mvnormal_spec(target.mu, target.scale_tril)
     if isinstance(target, TransformedTarget):
         inner = target.prob
+        if isinstance(inner, (LogReg, NormalLogNormal)):
+            # the in-kernel gradients hard-code the model's OWN
+            # unconstrained() bijector (Exp on the constrained coordinate);
+            # a different transform would be silently mis-optimized.
+            expected = inner.unconstrained().transform
+            if target.transform != expected:
+                raise ValueError(
+                    "fused specs support only the model's own "
+                    "unconstrained() transform; got a different transform "
+                    f"({target.transform!r}) over {type(inner).__name__}"
+                )
         if isinstance(inner, LogReg):
             return logreg_spec(
                 inner.X, inner.y,
@@ -1115,8 +1126,10 @@ class FusedADVI:
 
             progress = ProgressMeter(max_iter)
         chunk = max(log_every, (chunk_size // log_every) * log_every)
-        # bound the in-kernel trace buffer to (1024, 128) f32 = 512 KB VMEM
-        chunk = min(chunk, 1024 * log_every)
+        # bound the in-kernel trace buffer to 512 KB VMEM: (G, d_pad) f32
+        # rows, so the row budget shrinks with the lane width
+        max_rows = max(8, (1024 * 128) // self.d_pad)
+        chunk = min(chunk, max_rows * log_every)
         infos: list = []
         done = int(state.iteration)
         start = done
@@ -1146,10 +1159,17 @@ class FusedADVI:
             if rem:
                 state = self.run_chunk(state, key, steps=rem)
                 done = int(state.iteration)
-                infos.append({
+                row = {
                     "elbo": float(jax.device_get(state.elbo)),
                     "iteration": done - start,
-                })
+                }
+                infos.append(row)
+                if check_divergence and not np.isfinite(row["elbo"]):
+                    raise DivergenceError(
+                        "The objective became non-finite by iteration "
+                        f"{row['iteration']}. This indicates that the "
+                        "optimization diverged."
+                    )
             if self.model.reshuffle is not None and done < end:
                 # data-order refresh between chunks (minibatch models);
                 # consts are traced inputs, so this never recompiles
@@ -1161,10 +1181,17 @@ class FusedADVI:
             if progress is not None and infos:
                 progress.update(done - start, infos[-1])
         if infos and infos[-1]["iteration"] != max_iter:
-            infos.append({
+            row = {
                 "elbo": float(jax.device_get(state.elbo)),
                 "iteration": max_iter,
-            })
+            }
+            infos.append(row)
+            if check_divergence and not np.isfinite(row["elbo"]):
+                raise DivergenceError(
+                    "The objective became non-finite by iteration "
+                    f"{max_iter}. This indicates that the optimization "
+                    "diverged."
+                )
         if progress is not None:
             progress.close()
         return self.q(state), infos, state

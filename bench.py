@@ -35,6 +35,7 @@ Prints exactly one JSON line:
 """
 
 import json
+import math
 import sys
 import time
 
@@ -138,7 +139,9 @@ def main():
                 "vs_baseline": round(steps_per_s / REF_STEPS_PER_S, 3),
                 "engine": "fused_pallas_whole_loop",
                 "converged": converged,
-                "elbo": round(elbo, 3),
+                # strict-JSON safe: NaN/inf elbo becomes null, not the
+                # unparseable bare NaN token json.dumps would emit
+                "elbo": round(elbo, 3) if math.isfinite(elbo) else None,
             }
         ),
         flush=True,
@@ -172,7 +175,10 @@ def main():
     try:
         from perf_gate import check
 
-        verdict, ok = check(steps_per_s, "fused_pallas_whole_loop")
+        verdict, ok = check(
+            steps_per_s, "fused_pallas_whole_loop",
+            metric="elbo_grad_steps_per_s_logreg_advi_stl",
+        )
         log(verdict)
     except Exception as exc:
         log(f"perf gate errored (artifact unaffected): {exc!r}")

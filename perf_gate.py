@@ -27,10 +27,10 @@ NOISE_BAND = 0.10  # documented +-10% tunnel noise (CLAUDE.md)
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def latest_prior() -> tuple[int, dict] | None:
+def latest_prior(repo: str = REPO) -> tuple[int, dict] | None:
     """(round, parsed-dict) of the newest BENCH_r*.json with parsed data."""
     best = None
-    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+    for path in glob.glob(os.path.join(repo, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
@@ -49,7 +49,7 @@ def latest_prior() -> tuple[int, dict] | None:
                     obj, end = dec.raw_decode(text, idx)
                 except json.JSONDecodeError:
                     break
-                rec = obj if rec is None else rec
+                rec = obj  # keep the LAST object (latest driver append)
                 idx = end
                 while idx < len(text) and text[idx] in " \n\t\r":
                     idx += 1
@@ -61,20 +61,35 @@ def latest_prior() -> tuple[int, dict] | None:
     return best
 
 
-def check(value: float, engine: str | None = None) -> tuple[str, bool]:
-    prior = latest_prior()
+def check(
+    value: float,
+    engine: str | None = None,
+    metric: str | None = None,
+    repo: str = REPO,
+) -> tuple[str, bool]:
+    prior = latest_prior(repo)
     if prior is None:
         return "perf gate: no prior parsed BENCH artifact — pass (first run)", True
     n, parsed = prior
     prev = parsed.get("value")
     prev_engine = parsed.get("engine")
+    prev_metric = parsed.get("metric")
     if prev is None:
         return f"perf gate: BENCH_r{n:02d} has no value — pass", True
     ratio = value / prev
-    if engine is not None and prev_engine is not None and engine != prev_engine:
+    if metric is not None and prev_metric is not None and metric != prev_metric:
         return (
-            f"perf gate: prior round r{n} used engine={prev_engine!r}, current "
-            f"={engine!r} — info only: {value:.1f} vs {prev:.1f} ({ratio:.2f}x)"
+            f"perf gate: prior round r{n} measured metric={prev_metric!r}, "
+            f"current={metric!r} — info only: {value:.1f} vs {prev:.1f}"
+        ), True
+    # priors that predate the "engine" field (r01/r02) measured the general
+    # path; treat a missing prior engine as a different engine unless the
+    # current engine is also unknown.
+    if engine is not None and engine != (prev_engine or "general_scan_path"):
+        return (
+            f"perf gate: prior round r{n} used engine="
+            f"{prev_engine or 'general_scan_path'!r}, current ={engine!r} — "
+            f"info only: {value:.1f} vs {prev:.1f} ({ratio:.2f}x)"
         ), True
     if ratio < 1.0 - NOISE_BAND:
         return (

@@ -426,6 +426,21 @@ def test_fused_spec_registry(flagship):
         avt.fused_spec_for(prob)  # constrained-space LogReg
     with pytest.raises(ValueError, match="no fused model spec"):
         avt.fused_spec_for(object())
+    # a TransformedTarget with a DIFFERENT transform than the model's own
+    # unconstrained() bijector must be rejected (the in-kernel gradient
+    # hard-codes the Exp derivation — r4 review finding)
+    from advancedvi_jl_tpu.core.transforms import (
+        Softplus,
+        TransformedTarget,
+        stacked,
+    )
+
+    wrong = TransformedTarget(
+        prob=prob,
+        transform=stacked((Softplus(), prob.dim - 1), (Softplus(), 1)),
+    )
+    with pytest.raises(ValueError, match="transform"):
+        avt.fused_spec_for(wrong)
 
 
 def test_fused_optimize_bookkeeping(flagship, monkeypatch):
@@ -488,6 +503,22 @@ def test_fused_optimize_bookkeeping(flagship, monkeypatch):
     with pytest.raises(DivergenceError, match="iteration 200"):
         eng.optimize(
             jax.random.key(0), 1_000, state=eng2_state,
+            chunk_size=1_000, log_every=100,
+        )
+
+    # divergence in the REMAINDER chunk (steps beyond the last log_every
+    # grid row) must also raise (r4 review finding)
+    def nan_chunk(state, key, steps, noise=None):
+        return state._replace(
+            iteration=state.iteration + steps, elbo=jnp.float32(np.nan)
+        )
+
+    monkeypatch.setattr(eng, "run_chunk_traced", fake_traced)
+    monkeypatch.setattr(eng, "run_chunk", nan_chunk)
+    eng3_state = eng.init(q0.location, q0.scale_diag)
+    with pytest.raises(DivergenceError, match="iteration 250"):
+        eng.optimize(
+            jax.random.key(0), 250, state=eng3_state,
             chunk_size=1_000, log_every=100,
         )
 
