@@ -126,6 +126,7 @@ from .ops.pallas.fused_advi import (  # whole-loop fused engines (TPU)
     FusedLogRegADVI,
     FusedModelSpec,
     FusedProxADVI,
+    FusedScoreGradVI,
     fused_spec_for,
     logreg_minibatch_spec,
 )

@@ -102,10 +102,16 @@ ENT_STL = "stl"
 ENT_CF_ZERO = "closed_form_zero_grad"
 ENT_STL_ZERO = "stl_zero_grad"
 
-# Optimizer+operator combos the kernel can run.
-ALGO_ADAM = "adam"          # Adam + ClipScale           (KLMinRepGradDescent)
-ALGO_DESCENT = "descent"    # SGD + proximal entropy     (KLMinRepGradProxDescent)
-ALGO_DOWG = "dowg"          # DoWG + proximal entropy    (KLMinRepGradProxDescent)
+# Optimizers, post-update operators, and gradient estimators the kernel
+# can run (the engine classes pin the valid combinations).
+ALGO_ADAM = "adam"
+ALGO_DESCENT = "descent"
+ALGO_DOWG = "dowg"
+OP_CLIP = "clip"            # ClipScale on the scale diagonal
+OP_PROX = "prox"            # closed-form entropy proximal step (needs eta)
+OP_NONE = "none"            # IdentityOperator
+GE_REPGRAD = "repgrad"      # reparameterization gradient (entropy strategies)
+GE_SCOREGRAD = "scoregrad"  # VarGrad score-function gradient (BBVI)
 
 
 class FusedModelSpec(NamedTuple):
@@ -196,7 +202,7 @@ def _backsub_ct(C, u, d, lane):
 def _kernel(
     # static
     family, step_factory, static_cfg, n_consts, n_samples, d, steps,
-    use_noise, traced, algo, entropy,
+    use_noise, traced, algo, entropy, grad_est, operator,
     # refs
     *refs,
 ):
@@ -302,7 +308,26 @@ def _kernel(
 
         logpi, grad_logpi = model_fn(z, it0 + i)
 
-        if entropy == ENT_CF_ZERO:
+        if grad_est == GE_SCOREGRAD:
+            # VarGrad (objectives/scoregradelbo.py; reference
+            # scoregradelbo.jl:87-94): L = var_n(f)/2, f = log q - log pi,
+            # z and log pi detached, only log q differentiated.  With
+            # z = mu + sigma u held fixed: dlogq/dmu = u/sigma,
+            # dlogq/dsigma = (u^2 - 1)/sigma, so
+            # dL/dtheta = (1/n) sum_i (f_i - fbar) dlogq_i/dtheta.
+            # Mean-field only (the engine enforces it).
+            u2row = jnp.sum(0.5 * u * u, axis=1, keepdims=True)
+            logq = -(u2row + logdet + 0.5 * d * _L2PI)       # (N_PAD, 1)
+            f = (logq - logpi) * row_valid
+            fbar = inv_n * jnp.sum(f)
+            ci = (f - fbar) * row_valid * inv_n              # (N_PAD, 1)
+            dmu = maskd * jnp.sum(ci * (u / sig), axis=0, keepdims=True)
+            dsig = maskd * jnp.sum(
+                ci * ((u * u - 1.0) / sig), axis=0, keepdims=True
+            )
+            # info channel: the plain ELBO estimate, not the VarGrad value
+            elbo = inv_n * jnp.sum((logpi - logq) * row_valid)
+        elif entropy == ENT_CF_ZERO:
             # entropy(q_stop): detached, no whitening term in dL/dz (the
             # proximal operator supplies the entropy force).  Full-rank
             # skips the back-substitution entirely.
@@ -315,31 +340,35 @@ def _kernel(
                 else _backsub_ct(sig, u, d, lane)
             )
             g_z = -inv_n * (grad_logpi + whiten) * maskn * maskd
-        dmu = jnp.sum(g_z, axis=0, keepdims=True)             # (1, D_PAD)
-        if family == MEANFIELD:
-            dsig = jnp.sum(g_z * u, axis=0, keepdims=True)
-        else:
-            # dC[a, b] = sum_i g_z[i, a] u[i, b], lower-triangle only
-            dsig = tril_d * jnp.dot(
-                g_z.T, u, preferred_element_type=jnp.float32
-            )
-        if entropy == ENT_STL_ZERO:
-            # + dH(q)/dscale = 1/sigma on the (real) diagonal: the combined
-            # zero-gradient STL estimator (entropy.jl:80-90) is
-            # stl - H(q) + H(q_stop), and L = -(energy + entropy).
-            if family == MEANFIELD:
-                dsig = dsig + maskd / sig
-            else:
-                dsig = dsig + diag_d * (1.0 / diag)
 
-        # ELBO estimate (info channel): energy + entropy value
-        energy = inv_n * jnp.sum(logpi * row_valid)
-        if entropy == ENT_CF_ZERO:
-            ent = logdet + 0.5 * d * (1.0 + _L2PI)   # closed form H(q)
-        else:
-            # STL estimate value (== stl_zero's value: -H(q)+H(q_stop) = 0)
-            ent = logdet + inv_n * jnp.sum(0.5 * u * u) + 0.5 * d * _L2PI
-        elbo = energy + ent
+        if grad_est == GE_REPGRAD:
+            dmu = jnp.sum(g_z, axis=0, keepdims=True)         # (1, D_PAD)
+            if family == MEANFIELD:
+                dsig = jnp.sum(g_z * u, axis=0, keepdims=True)
+            else:
+                # dC[a, b] = sum_i g_z[i, a] u[i, b], lower-triangle only
+                dsig = tril_d * jnp.dot(
+                    g_z.T, u, preferred_element_type=jnp.float32
+                )
+            if entropy == ENT_STL_ZERO:
+                # + dH(q)/dscale = 1/sigma on the (real) diagonal: the
+                # combined zero-gradient STL estimator (entropy.jl:80-90)
+                # is stl - H(q) + H(q_stop), and L = -(energy + entropy).
+                if family == MEANFIELD:
+                    dsig = dsig + maskd / sig
+                else:
+                    dsig = dsig + diag_d * (1.0 / diag)
+
+            # ELBO estimate (info channel): energy + entropy value
+            energy = inv_n * jnp.sum(logpi * row_valid)
+            if entropy == ENT_CF_ZERO:
+                ent = logdet + 0.5 * d * (1.0 + _L2PI)  # closed form H(q)
+            else:
+                # STL estimate value (== stl_zero's: -H(q)+H(q_stop) = 0)
+                ent = (
+                    logdet + inv_n * jnp.sum(0.5 * u * u) + 0.5 * d * _L2PI
+                )
+            elbo = energy + ent
 
         c = it_f + 1.0
         if algo == ALGO_ADAM:
@@ -355,12 +384,6 @@ def _kernel(
 
             m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
             m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
-            if family == MEANFIELD:
-                sig = jnp.maximum(sig, clip_eps)  # ClipScale
-            else:
-                # ClipScale clamps the diagonal only (padded diag untouched:
-                # its Adam update is 0, so max(1.0, eps) = 1.0 is exact)
-                sig = sig + diag_d * (jnp.maximum(sig, clip_eps) - sig)
         else:
             # Descent / DoWG + closed-form proximal entropy step
             # (optim/rules.py dowg, optim/operators.py
@@ -387,9 +410,19 @@ def _kernel(
                 eta = lr
             mu = mu - eta * dmu
             sig = sig - eta * dsig
+
+        if operator == OP_CLIP:
+            if family == MEANFIELD:
+                # ClipScale; padded lanes: max(1.0, eps) = 1.0, exact
+                sig = jnp.maximum(sig, clip_eps)
+            else:
+                # clamps the diagonal only (padded diag untouched)
+                sig = sig + diag_d * (jnp.maximum(sig, clip_eps) - sig)
+        elif operator == OP_PROX:
             # prox: sigma' = sigma/2 + sqrt(sigma^2 + 4 gamma)/2 on the
             # (real) scale diagonal; gamma = the step size just used ==
-            # stepsize_from_opt_state of the post-update state.
+            # stepsize_from_opt_state of the post-update state (only valid
+            # with descent/dowg, where eta is defined - engine-enforced).
             if family == MEANFIELD:
                 proxed = 0.5 * sig + 0.5 * jnp.sqrt(sig * sig + 4.0 * eta)
                 sig = sig + maskd * (proxed - sig)
@@ -436,13 +469,14 @@ def _kernel(
     static_argnames=(
         "family", "step_factory", "static_cfg", "n_samples", "d", "steps",
         "use_noise", "interpret", "log_every", "algo", "entropy",
-        "d_pad",
+        "d_pad", "grad_est", "operator",
     ),
 )
 def _run_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     family, step_factory, static_cfg, n_samples, d, steps, use_noise,
     interpret, log_every=0, algo=ALGO_ADAM, entropy=ENT_STL, d_pad=D_PAD,
+    grad_est=GE_REPGRAD, operator=OP_CLIP,
 ):
     scale_shape = (
         (1, d_pad) if family == MEANFIELD else (d_pad, d_pad)
@@ -465,6 +499,7 @@ def _run_chunk(
     kernel = functools.partial(
         _kernel, family, step_factory, static_cfg, len(consts), n_samples,
         d, log_every if traced else steps, use_noise, traced, algo, entropy,
+        grad_est, operator,
     )
     if not traced:
         vec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -949,6 +984,8 @@ class FusedADVI:
         self.interpret = interpret
         self.algo = ALGO_ADAM
         self.entropy = ENT_STL
+        self.grad_est = GE_REPGRAD
+        self.operator = OP_CLIP
 
     def _scale_zeros(self):
         if self.family == MEANFIELD:
@@ -1070,6 +1107,7 @@ class FusedADVI:
             d=self.dim, steps=steps, use_noise=use_noise,
             interpret=self.interpret, log_every=log_every,
             algo=self.algo, entropy=self.entropy, d_pad=self.d_pad,
+            grad_est=self.grad_est, operator=self.operator,
         )
         new_state = FusedADVIState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
@@ -1262,6 +1300,60 @@ class FusedProxADVI(FusedADVI):
         )
         self.algo = optimizer
         self.entropy = entropy
+        self.operator = OP_PROX
+        self.alpha = alpha
+
+
+class FusedScoreGradVI(FusedADVI):
+    """Whole-loop fused BBVI: the VarGrad score-function gradient
+    (``KLMinScoreGradDescent`` semantics, objectives/scoregradelbo.py) with
+    {Adam, DoWG, descent} x {IdentityOperator, ClipScale}.
+
+    Mean-field only: the in-kernel score closed form uses
+    dlogq/dmu = u/sigma and dlogq/dsigma = (u^2 - 1)/sigma.  The model's
+    gradient factory output is unused (DCE'd) — like the general
+    ScoreGradELBO, the estimator needs only log-density VALUES, so this
+    is the fused path for targets whose gradients are expensive;
+    n_samples >= 2 (the leave-one-out control variate is a sample
+    variance).  Defaults mirror ``KLMinScoreGradDescent()``: DoWG +
+    IdentityOperator + polynomial averaging.
+    """
+
+    def __init__(
+        self,
+        model: FusedModelSpec,
+        n_samples: int = 10,
+        optimizer: str = ALGO_DOWG,
+        lr: float = 1e-3,
+        alpha: float = 1e-6,
+        operator: str = OP_NONE,
+        avg_eta: float = 8.0,
+        clip_eps: float = 1e-5,
+        interpret: bool = False,
+    ):
+        if optimizer not in (ALGO_ADAM, ALGO_DESCENT, ALGO_DOWG):
+            raise ValueError(
+                f"optimizer must be one of ('{ALGO_ADAM}', '{ALGO_DESCENT}'"
+                f", '{ALGO_DOWG}'), got {optimizer!r}"
+            )
+        if operator not in (OP_NONE, OP_CLIP):
+            raise ValueError(
+                f"operator must be '{OP_NONE}' or '{OP_CLIP}', got "
+                f"{operator!r} (the entropy proximal step is specific to "
+                "the zero-gradient RepGrad objectives)"
+            )
+        if n_samples < 2:
+            raise ValueError(
+                "the VarGrad estimator needs n_samples >= 2 (sample "
+                f"variance), got {n_samples}"
+            )
+        super().__init__(
+            model, family=MEANFIELD, n_samples=n_samples, lr=lr,
+            avg_eta=avg_eta, clip_eps=clip_eps, interpret=interpret,
+        )
+        self.algo = optimizer
+        self.grad_est = GE_SCOREGRAD
+        self.operator = operator
         self.alpha = alpha
 
 

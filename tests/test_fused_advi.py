@@ -684,6 +684,68 @@ def test_fused_prox_validation():
         FusedProxADVI(spec, entropy=avt.STL)
 
 
+def test_fused_scoregrad_matches_general_path(flagship):
+    """FusedScoreGradVI (VarGrad, DoWG, IdentityOperator — the BBVI
+    defaults) x mean-field logreg: injected-noise parity of the in-kernel
+    closed-form score gradient against KLMinScoreGradDescent."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import FusedScoreGradVI
+
+    prob, target = flagship
+    d = prob.dim
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+
+    alg = avt.KLMinScoreGradDescent(n_samples=N_SAMPLES, optimizer=avt.dowg())
+    state = alg.init(jax.random.key(0), q0, target)
+    step = jax.jit(alg.step)
+    draws, infos = [], []
+    for _ in range(T):
+        step_key = jax.random.fold_in(state.key, state.iteration)
+        z = state.q.sample(step_key, N_SAMPLES)
+        u = (z - state.q.location) / state.q.scale_diag
+        draws.append(np.asarray(u))
+        state, info = step(state)
+        infos.append(info)
+
+    engine = FusedScoreGradVI(
+        logreg_spec(prob.X, prob.y, prior_scale=prob.prior_scale,
+                    likeadj=float(prob.likeadj)),
+        n_samples=N_SAMPLES, optimizer="dowg", interpret=True,
+    )
+    fstate = engine.init(q0.location, q0.scale_diag)
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=T, noise=_pack_noise(draws)
+    )
+
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        fstate.sig[0, :d], state.q.scale_diag, rtol=1e-5, atol=1e-6
+    )
+    q_avg = alg.output(state)
+    q_fused = engine.q(fstate)
+    assert_allclose(q_fused.location, q_avg.location, rtol=1e-5, atol=1e-6)
+    # DoWG accumulators
+    assert_allclose(
+        float(fstate.v_mu[0, 0]), float(state.opt_state.v), rtol=1e-4
+    )
+    # the reported info elbo is the plain ELBO estimate, not VarGrad
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_scoregrad_validation(flagship):
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import FusedScoreGradVI
+
+    prob, _ = flagship
+    spec = logreg_spec(prob.X, prob.y)
+    with pytest.raises(ValueError, match="n_samples >= 2"):
+        FusedScoreGradVI(spec, n_samples=1)
+    with pytest.raises(ValueError, match="optimizer"):
+        FusedScoreGradVI(spec, optimizer="sgdm")
+    with pytest.raises(ValueError, match="operator"):
+        FusedScoreGradVI(spec, operator="prox")
+
+
 def test_fused_minibatch_logreg_matches_manual_loop():
     """In-kernel minibatch subsampling (cyclic slab windows + n/B
     rescaling): injected-noise parity against a manual optax loop whose
