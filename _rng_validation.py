@@ -231,6 +231,81 @@ def fused_layer():
     return engf, stf, eng, st
 
 
+def new_engines_layer():
+    """Round-4 engines: prox, scoregrad, chains — convergence-level RNG
+    validation (the streams are only exercisable on hardware)."""
+    print("== layer 2b: prox / scoregrad / chains RNG streams ==", flush=True)
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        FusedProxADVI,
+        FusedScoreGradVI,
+    )
+    from advancedvi_jl_tpu.ops.pallas.fused_chains import FusedChainsADVI
+
+    lg = make_logreg(jax.random.key(11), n_data=208, n_features=60)
+    target = lg.unconstrained()
+    dl = lg.dim
+    spec = logreg_spec(lg.X, lg.y)
+    evalg = avt.KLMinRepGradDescent(entropy=avt.STL, n_samples=10)
+    key = jax.random.key(5)
+
+    def eval_elbo(q):
+        return -float(jax.device_get(evalg.estimate_objective(
+            jax.random.key(9), q, target, 4096
+        )))
+
+    # (a) prox-DoWG mean-field: must land in the flagship posterior band
+    engp = FusedProxADVI(spec, n_samples=10, optimizer="dowg")
+    stp = engp.init(jnp.zeros(dl), 0.1 * jnp.ones(dl))
+    run = jax.jit(lambda s: engp.run_chunk(s, key, 50_000))
+    for _ in range(3):
+        stp = run(stp)
+    e_p = eval_elbo(engp.q(stp))
+    check("fused prox mf+logreg ELBO", abs(e_p - (-103.77)) < 0.2,
+          f"elbo={e_p:.4f} (band -103.77 +- 0.2)")
+
+    # (b) prox fullrank NLN: analytic optimum
+    prob, mu_true, sd_true = make_normallognormal(jax.random.key(7), 10)
+    dn = prob.dim
+    engpn = FusedProxADVI(
+        normallognormal_spec(prob), family=FULLRANK, n_samples=10,
+        optimizer="dowg",
+    )
+    stn = engpn.init(jnp.zeros(dn), 0.1 * jnp.eye(dn))
+    stn = jax.jit(lambda s: engpn.run_chunk(s, key, 100_000))(stn)
+    qn = engpn.q(stn)
+    err = float(jnp.max(jnp.abs(qn.location - mu_true)))
+    check("fused prox fullrank+NLN loc", err < 0.02, f"max|err|={err:.4f}")
+
+    # (c) scoregrad (BBVI) dowg+clip: same posterior as ADVI
+    engs = FusedScoreGradVI(spec, n_samples=10, optimizer="dowg",
+                            operator="clip")
+    sts = engs.init(jnp.zeros(dl), 0.1 * jnp.ones(dl))
+    run = jax.jit(lambda s: engs.run_chunk(s, key, 50_000))
+    for _ in range(3):
+        sts = run(sts)
+    e_s = eval_elbo(engs.q(sts))
+    check("fused scoregrad mf+logreg ELBO", abs(e_s - (-103.77)) < 0.3,
+          f"elbo={e_s:.4f} (band -103.77 +- 0.3)")
+
+    # (d) chains: 64 independent streams agree on the optimum
+    engc = FusedChainsADVI(spec, n_chains=64, n_samples=10, lr=1e-3)
+    stc = engc.init(
+        0.5 * jax.random.normal(jax.random.key(2), (64, dl)),
+        0.1 * jnp.ones((64, dl)),
+    )
+    run = jax.jit(lambda s: engc.run_chunk(s, key, 30_000))
+    for _ in range(4):
+        stc = run(stc)
+    el = jax.device_get(stc.elbo)[:64]
+    qs = engc.q(stc)
+    spread = float(jnp.max(jnp.std(qs.location, axis=0)))
+    check("fused chains elbo band",
+          float(el.min()) > -110.0 and float(el.max()) < -98.0,
+          f"range=[{float(el.min()):.2f}, {float(el.max()):.2f}]")
+    check("fused chains cross-chain loc agreement", spread < 0.02,
+          f"max per-dim loc std={spread:.4f}")
+
+
 def throughput_layer(engf, stf, eng_nln, st_nln):
     print("== layer 3: full-rank fused throughput ==", flush=True)
     for tag, eng, st, steps in (
@@ -259,6 +334,7 @@ def main():
     print(f"device: {jax.devices()[0]}", flush=True)
     sampler_layer()
     engf, stf, eng_nln, st_nln = fused_layer()
+    new_engines_layer()
     throughput_layer(engf, stf, eng_nln, st_nln)
     if FAILURES:
         print(f"FAILURES: {FAILURES}", flush=True)
