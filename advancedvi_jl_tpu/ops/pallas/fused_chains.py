@@ -79,18 +79,25 @@ class FusedChainsState(NamedTuple):
 def _chains_kernel(
     # static
     step_factory, static_cfg, n_consts, n_chains, c_pad, n_samples, d,
-    steps, use_noise,
+    steps, use_noise, use_lrs,
     # refs
     *refs,
 ):
+    # input layout: [seed, it0, hyp, mscal, *consts, *state(8), noise?,
+    # lrs?]; the per-chain learning-rate column replaces the scalar lr
+    # when use_lrs (hyperparameter sweeps: C optimizers, C step sizes,
+    # one kernel).
     seed_ref, it0_ref, hyp_ref, mscal_ref = refs[:4]
     const_refs = refs[4 : 4 + n_consts]
     state_in = refs[4 + n_consts : 12 + n_consts]
-    noise_ref = refs[12 + n_consts] if use_noise else None
+    k = 12 + n_consts
+    noise_ref = refs[k] if use_noise else None
+    k += 1 if use_noise else 0
+    lrs_ref = refs[k] if use_lrs else None
     (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
      elbo_o) = refs[-9:]
 
-    lr = hyp_ref[0]
+    lr = lrs_ref[:] if use_lrs else hyp_ref[0]   # (c_pad, 1) | scalar
     b1 = hyp_ref[1]
     b2 = hyp_ref[2]
     eps = hyp_ref[3]
@@ -201,13 +208,13 @@ def _chains_kernel(
     jax.jit,
     static_argnames=(
         "step_factory", "static_cfg", "n_chains", "c_pad", "n_samples",
-        "d", "steps", "use_noise", "interpret", "d_pad",
+        "d", "steps", "use_noise", "interpret", "d_pad", "use_lrs",
     ),
 )
 def _run_chains_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     step_factory, static_cfg, n_chains, c_pad, n_samples, d, steps,
-    use_noise, interpret, d_pad=D_PAD,
+    use_noise, interpret, d_pad=D_PAD, lrs=None, use_lrs=False,
 ):
     shape = (c_pad, d_pad)
     out_shape = tuple(
@@ -216,9 +223,11 @@ def _run_chains_chunk(
     operands = (seed, it0, hyp, mscal) + tuple(consts) + tuple(state_arrays)
     if use_noise:
         operands = operands + (noise,)
+    if use_lrs:
+        operands = operands + (lrs,)
     kernel = functools.partial(
         _chains_kernel, step_factory, static_cfg, len(consts), n_chains,
-        c_pad, n_samples, d, steps, use_noise,
+        c_pad, n_samples, d, steps, use_noise, use_lrs,
     )
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -227,6 +236,7 @@ def _run_chains_chunk(
         + [vec] * len(consts)
         + [vec] * 8
         + ([vec] if use_noise else [])
+        + ([vec] if use_lrs else [])
     )
     return pl.pallas_call(
         kernel,
@@ -286,10 +296,26 @@ class FusedChainsADVI:
         self.n_chains = n_chains
         self.c_pad = c_pad
         self.n_samples = n_samples
+        # lr may be per-chain: an (n_chains,) array sweeps C step sizes in
+        # the one kernel (padded chains get lr 0 — doubly inert).
+        self.lrs = None
+        if hasattr(lr, "shape") and getattr(lr, "shape", ()) != ():
+            lr = jnp.asarray(lr, jnp.float32)
+            if lr.shape != (n_chains,):
+                raise ValueError(
+                    f"per-chain lr must have shape ({n_chains},), got "
+                    f"{lr.shape}"
+                )
+            self.lrs = jnp.zeros((c_pad, 1), jnp.float32).at[
+                :n_chains, 0
+            ].set(lr)
+            lr_scalar = 0.0
+        else:
+            lr_scalar = float(lr)
         self.lr, self.b1, self.b2, self.eps = lr, b1, b2, eps
         self.avg_eta, self.clip_eps = avg_eta, clip_eps
         self.hyp = jnp.array(
-            [lr, b1, b2, eps, avg_eta, clip_eps], jnp.float32
+            [lr_scalar, b1, b2, eps, avg_eta, clip_eps], jnp.float32
         )
         self.interpret = interpret
 
@@ -362,6 +388,9 @@ class FusedChainsADVI:
             n_samples=self.n_samples, d=self.dim, steps=steps,
             use_noise=use_noise, interpret=self.interpret,
             d_pad=self.d_pad,
+            lrs=(self.lrs if self.lrs is not None
+                 else jnp.zeros((1, 1), jnp.float32)),
+            use_lrs=self.lrs is not None,
         )
         return FusedChainsState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
@@ -391,6 +420,12 @@ class FusedChainsADVI:
         from jax.sharding import PartitionSpec as P
 
         n_dev = mesh.shape[axis]
+        if self.lrs is not None:
+            raise ValueError(
+                "run_sharded does not yet support per-chain lr sweeps "
+                "(the lr column is engine state, not sharded input); run "
+                "the sweep single-device or build one engine per device"
+            )
         if self.n_chains != self.c_pad or self.n_chains % n_dev:
             raise ValueError(
                 f"run_sharded needs n_chains (= {self.n_chains}) to be a "

@@ -199,6 +199,60 @@ def test_fused_chains_sharded_equals_unsharded(flagship):
     assert int(f_shard.iteration) == 3
 
 
+def test_fused_chains_per_chain_lr_sweep(flagship):
+    """lr as an (n_chains,) array sweeps C step sizes in one kernel: each
+    chain must match a single-chain FusedADVI run at that chain's lr."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        N_PAD,
+        FusedADVI,
+    )
+
+    prob, _ = flagship
+    d = prob.dim
+    spec = logreg_spec(prob.X, prob.y, prior_scale=prob.prior_scale,
+                       likeadj=float(prob.likeadj))
+    lrs = np.array([1e-3, 3e-3, 1e-2], np.float32)
+    rng = np.random.default_rng(9)
+    draws = rng.standard_normal((T, N_SAMPLES, d)).astype(np.float32)
+    loc0 = jnp.zeros(d)
+    sd0 = 0.1 * jnp.ones(d)
+
+    eng = FusedChainsADVI(
+        spec, n_chains=3, n_samples=N_SAMPLES, lr=jnp.asarray(lrs),
+        interpret=True,
+    )
+    R = eng.n_samples * eng.c_pad
+    noise = np.zeros((T * R, 128), np.float32)
+    for t in range(T):
+        for s in range(N_SAMPLES):
+            for c in range(3):
+                # all chains consume the SAME draws: only lr differs
+                noise[t * R + s * eng.c_pad + c, :d] = draws[t, s]
+    f = eng.run_chunk(
+        eng.init(jnp.tile(loc0, (3, 1)), jnp.tile(sd0, (3, 1))),
+        jax.random.key(0), steps=T, noise=jnp.asarray(noise),
+    )
+
+    noise_s = np.zeros((T * N_PAD, 128), np.float32)
+    for t in range(T):
+        noise_s[t * N_PAD : t * N_PAD + N_SAMPLES, :d] = draws[t]
+    for c, lr in enumerate(lrs):
+        single = FusedADVI(spec, n_samples=N_SAMPLES, lr=float(lr),
+                           interpret=True)
+        fs = single.run_chunk(
+            single.init(loc0, sd0), jax.random.key(0), steps=T,
+            noise=jnp.asarray(noise_s),
+        )
+        assert_allclose(f.mu[c], fs.mu[0], rtol=1e-6, atol=1e-7)
+        assert_allclose(f.sig[c], fs.sig[0], rtol=1e-6, atol=1e-7)
+        assert_allclose(f.avg_mu[c], fs.avg_mu[0], rtol=1e-6, atol=1e-7)
+    # different lrs produced genuinely different chains
+    assert not np.allclose(np.asarray(f.mu[0]), np.asarray(f.mu[2]))
+
+    with pytest.raises(ValueError, match="per-chain lr"):
+        FusedChainsADVI(spec, n_chains=3, lr=jnp.ones(5), interpret=True)
+
+
 def test_fused_chains_validation(flagship):
     prob, _ = flagship
     spec = logreg_spec(prob.X, prob.y)
