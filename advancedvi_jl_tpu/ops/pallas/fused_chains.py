@@ -43,8 +43,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_advi import (
+    ALGO_ADAM,
+    ALGO_DESCENT,
+    ALGO_DOWG,
     D_PAD,
     D_PAD_MAX,
+    ENT_CF_ZERO,
+    ENT_STL,
+    ENT_STL_ZERO,
+    GE_REPGRAD,
+    GE_SCOREGRAD,
+    OP_CLIP,
+    OP_NONE,
+    OP_PROX,
     _GOLD,
     FusedModelSpec,
     Masks,
@@ -79,7 +90,7 @@ class FusedChainsState(NamedTuple):
 def _chains_kernel(
     # static
     step_factory, static_cfg, n_consts, n_chains, c_pad, n_samples, d,
-    steps, use_noise, use_lrs,
+    steps, use_noise, use_lrs, algo, entropy, grad_est, operator,
     # refs
     *refs,
 ):
@@ -115,6 +126,8 @@ def _chains_kernel(
     rowi = jax.lax.broadcasted_iota(jnp.int32, (R, dp), 0)
     # row r belongs to chain r % c_pad; rows of padded chains are invalid
     maskR = (jax.lax.rem(rowi, c_pad) < n_chains).astype(jnp.float32)
+    chain_col = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0)
+    maskC = (chain_col < n_chains).astype(jnp.float32)   # (c_pad, 1)
     masks = Masks(lane=lane, maskd=maskd, maskn=maskR, d=d,
                   n_samples=n_samples)
     model_fn = step_factory(static_cfg, masks, const_refs, mscal_ref)
@@ -148,37 +161,92 @@ def _chains_kernel(
         z = rows(mu) + sig_rows * u
         logpi, grad_logpi = model_fn(z, it0 + i)
 
-        # STL per chain: dL/dz = -(1/n)(grad_logpi + u/sigma)
-        g_z = -inv_n * (grad_logpi + u / sig_rows) * maskR * maskd
-        dmu = chain_sum(g_z)
-        dsig = chain_sum(g_z * u)
-
-        # per-chain ELBO estimate: energy + STL entropy value
-        energy = inv_n * chain_sum(logpi)          # (c_pad, 1)
         logdet = jnp.sum(jnp.log(sig) * maskd, axis=1, keepdims=True)
-        u2 = chain_sum(0.5 * u * u)
-        ent = (
-            logdet
-            + inv_n * jnp.sum(u2, axis=1, keepdims=True)
-            + 0.5 * d * _L2PI
-        )
-        elbo_c = energy + ent                      # (c_pad, 1)
+        energy = inv_n * chain_sum(logpi)          # (c_pad, 1)
+        if grad_est == GE_SCOREGRAD:
+            # per-chain VarGrad closed form (see fused_advi._kernel):
+            # f centered within each chain, dlogq/dmu = u/sigma,
+            # dlogq/dsigma = (u^2 - 1)/sigma.
+            u2row = jnp.sum(0.5 * u * u, axis=1, keepdims=True)  # (R, 1)
+            logq = -(u2row + rows(logdet) + 0.5 * d * _L2PI)
+            f = logq - logpi                                     # (R, 1)
+            fbar = inv_n * chain_sum(f)                          # (c_pad, 1)
+            ci = (f - rows(fbar)) * inv_n
+            dmu = maskd * chain_sum(ci * (u / sig_rows))
+            dsig = maskd * chain_sum(ci * ((u * u - 1.0) / sig_rows))
+            dmu = dmu * maskC
+            dsig = dsig * maskC
+            elbo_c = energy - inv_n * chain_sum(logq)
+        else:
+            if entropy == ENT_CF_ZERO:
+                g_z = -inv_n * grad_logpi * maskR * maskd
+            else:
+                # STL per chain: dL/dz = -(1/n)(grad_logpi + u/sigma)
+                g_z = -inv_n * (grad_logpi + u / sig_rows) * maskR * maskd
+            dmu = chain_sum(g_z)
+            dsig = chain_sum(g_z * u)
+            if entropy == ENT_STL_ZERO:
+                dsig = dsig + maskC * (maskd / sig)
+            # per-chain ELBO estimate: energy + entropy value
+            if entropy == ENT_CF_ZERO:
+                ent = logdet + 0.5 * d * (1.0 + _L2PI)
+            else:
+                u2 = chain_sum(0.5 * u * u)
+                ent = (
+                    logdet
+                    + inv_n * jnp.sum(u2, axis=1, keepdims=True)
+                    + 0.5 * d * _L2PI
+                )
+            elbo_c = energy + ent                  # (c_pad, 1)
 
-        # Adam (optax.scale_by_adam, count_inc = it + 1), elementwise per
-        # chain; padded chains receive exactly zero gradients.
         c = it_f + 1.0
-        bc1 = 1.0 - jnp.exp(c * ln_b1)
-        bc2 = 1.0 - jnp.exp(c * ln_b2)
+        if algo == ALGO_ADAM:
+            # Adam (optax.scale_by_adam, count_inc = it + 1), elementwise
+            # per chain; padded chains receive exactly zero gradients.
+            bc1 = 1.0 - jnp.exp(c * ln_b1)
+            bc2 = 1.0 - jnp.exp(c * ln_b2)
 
-        def adam(m, v, g, p_):
-            m2 = b1 * m + (1.0 - b1) * g
-            v2 = b2 * v + (1.0 - b2) * g * g
-            upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
-            return m2, v2, p_ + upd
+            def adam(m, v, g, p_):
+                m2 = b1 * m + (1.0 - b1) * g
+                v2 = b2 * v + (1.0 - b2) * g * g
+                upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+                return m2, v2, p_ + upd
 
-        m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
-        m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
-        sig = jnp.maximum(sig, clip_eps)           # ClipScale
+            m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
+            m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
+        else:
+            # per-chain Descent / DoWG (optim/rules.py, global norms
+            # computed WITHIN each chain)
+            if algo == ALGO_DOWG:
+                # per-chain DoWG state in the Adam slots: m_* = x0,
+                # v_mu[:, 0] = v_c, v_mu[:, 1] = r_c.
+                l0 = (lane == 0).astype(jnp.float32)
+                l1 = (lane == 1).astype(jnp.float32)
+                v_prev = jnp.sum(v_mu * l0, axis=1, keepdims=True)
+                r_prev = jnp.sum(v_mu * l1, axis=1, keepdims=True)
+                dist = jnp.sqrt(
+                    jnp.sum((mu - m_mu) ** 2, axis=1, keepdims=True)
+                    + jnp.sum((sig - m_sig) ** 2, axis=1, keepdims=True)
+                )
+                r = jnp.maximum(dist, r_prev)
+                gsq = (
+                    jnp.sum(dmu * dmu, axis=1, keepdims=True)
+                    + jnp.sum(dsig * dsig, axis=1, keepdims=True)
+                )
+                v = v_prev + r * r * gsq
+                # padded chains: v stays 0 -> guard the division
+                eta = r * r / jnp.sqrt(jnp.maximum(v, 1e-30))
+                v_mu = l0 * v + l1 * r
+            else:
+                eta = lr
+            mu = mu - eta * dmu
+            sig = sig - eta * dsig
+
+        if operator == OP_CLIP:
+            sig = jnp.maximum(sig, clip_eps)       # ClipScale
+        elif operator == OP_PROX:
+            proxed = 0.5 * sig + 0.5 * jnp.sqrt(sig * sig + 4.0 * eta)
+            sig = sig + maskC * maskd * (proxed - sig)
 
         # PolynomialAveraging: w = (eta + 1) / (t + eta)
         w = (avg_eta + 1.0) / (c + avg_eta)
@@ -209,12 +277,14 @@ def _chains_kernel(
     static_argnames=(
         "step_factory", "static_cfg", "n_chains", "c_pad", "n_samples",
         "d", "steps", "use_noise", "interpret", "d_pad", "use_lrs",
+        "algo", "entropy", "grad_est", "operator",
     ),
 )
 def _run_chains_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     step_factory, static_cfg, n_chains, c_pad, n_samples, d, steps,
     use_noise, interpret, d_pad=D_PAD, lrs=None, use_lrs=False,
+    algo=ALGO_ADAM, entropy=ENT_STL, grad_est=GE_REPGRAD, operator=OP_CLIP,
 ):
     shape = (c_pad, d_pad)
     out_shape = tuple(
@@ -227,7 +297,8 @@ def _run_chains_chunk(
         operands = operands + (lrs,)
     kernel = functools.partial(
         _chains_kernel, step_factory, static_cfg, len(consts), n_chains,
-        c_pad, n_samples, d, steps, use_noise, use_lrs,
+        c_pad, n_samples, d, steps, use_noise, use_lrs, algo, entropy,
+        grad_est, operator,
     )
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -269,7 +340,36 @@ class FusedChainsADVI:
         avg_eta: float = 8.0,
         clip_eps: float = 1e-5,
         interpret: bool = False,
+        optimizer: str = ALGO_ADAM,
+        entropy: str = ENT_STL,
+        grad_est: str = GE_REPGRAD,
+        operator: str = OP_CLIP,
+        alpha: float = 1e-6,
     ):
+        if optimizer not in (ALGO_ADAM, ALGO_DESCENT, ALGO_DOWG):
+            raise ValueError(f"unknown optimizer {optimizer!r}")
+        if entropy not in (ENT_STL, ENT_CF_ZERO, ENT_STL_ZERO):
+            raise ValueError(f"unknown entropy {entropy!r}")
+        if grad_est not in (GE_REPGRAD, GE_SCOREGRAD):
+            raise ValueError(f"unknown grad_est {grad_est!r}")
+        if operator not in (OP_CLIP, OP_PROX, OP_NONE):
+            raise ValueError(f"unknown operator {operator!r}")
+        if operator == OP_PROX:
+            if optimizer == ALGO_ADAM:
+                raise ValueError(
+                    "operator='prox' needs an extractable step size: use "
+                    "optimizer='descent' or 'dowg'"
+                )
+            if grad_est == GE_SCOREGRAD or entropy == ENT_STL:
+                raise ValueError(
+                    "operator='prox' pairs with the zero-gradient RepGrad "
+                    "entropies (closed_form_zero_grad / stl_zero_grad)"
+                )
+        if grad_est == GE_SCOREGRAD and n_samples < 2:
+            raise ValueError(
+                "the VarGrad estimator needs n_samples >= 2 (sample "
+                f"variance), got {n_samples}"
+            )
         if n_samples > N_SAMPLES_MAX:
             raise ValueError(
                 f"fused chains support n_samples <= {N_SAMPLES_MAX}, got "
@@ -318,6 +418,11 @@ class FusedChainsADVI:
             [lr_scalar, b1, b2, eps, avg_eta, clip_eps], jnp.float32
         )
         self.interpret = interpret
+        self.algo = optimizer
+        self.entropy = entropy
+        self.grad_est = grad_est
+        self.operator = operator
+        self.alpha = alpha
 
     def init(
         self, locations: jax.Array, scale_diags: jax.Array
@@ -340,6 +445,23 @@ class FusedChainsADVI:
             scale_diags.astype(jnp.float32)
         )
         zeros = jnp.zeros((cp, self.d_pad), jnp.float32)
+        if self.algo == ALGO_DOWG:
+            # per-chain DoWG state in the Adam slots: m_* = x0 copies,
+            # v_mu[:, 0] = v_c (0), v_mu[:, 1] = r_c = alpha(1 + ||x0_c||)
+            # over that chain's REAL parameter entries (optim/rules.py).
+            norm0 = jnp.sqrt(
+                jnp.sum(jnp.square(locations.astype(jnp.float32)), axis=1)
+                + jnp.sum(jnp.square(scale_diags.astype(jnp.float32)), axis=1)
+            )  # (C,)
+            r0 = jnp.float32(self.alpha) * (1.0 + norm0)
+            v_mu = zeros.at[:C, 1].set(r0)
+            return FusedChainsState(
+                mu=mu, sig=sig,
+                m_mu=mu, v_mu=v_mu, m_sig=sig, v_sig=zeros,
+                avg_mu=mu, avg_sig=sig,
+                iteration=jnp.asarray(0, jnp.int32),
+                elbo=jnp.zeros((cp,), jnp.float32),
+            )
         return FusedChainsState(
             mu=mu, sig=sig,
             m_mu=zeros, v_mu=zeros, m_sig=zeros, v_sig=zeros,
@@ -391,6 +513,8 @@ class FusedChainsADVI:
             lrs=(self.lrs if self.lrs is not None
                  else jnp.zeros((1, 1), jnp.float32)),
             use_lrs=self.lrs is not None,
+            algo=self.algo, entropy=self.entropy,
+            grad_est=self.grad_est, operator=self.operator,
         )
         return FusedChainsState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
@@ -440,6 +564,9 @@ class FusedChainsADVI:
             self.model, c_loc, n_samples=self.n_samples, lr=self.lr,
             b1=self.b1, b2=self.b2, eps=self.eps, avg_eta=self.avg_eta,
             clip_eps=self.clip_eps, interpret=self.interpret,
+            optimizer=self.algo, entropy=self.entropy,
+            grad_est=self.grad_est, operator=self.operator,
+            alpha=self.alpha,
         )
 
         def shard_fn(st: FusedChainsState) -> FusedChainsState:

@@ -55,3 +55,13 @@ stc = engc.run_chunk(stc, jax.random.key(4), steps=100_000)
 elbos = jax.device_get(stc.elbo)[:64]
 print(f"FusedChainsADVI:   64 chains, elbo range "
       f"[{elbos.min():.2f}, {elbos.max():.2f}]")
+
+# --- hyperparameter sweep: 64 learning rates, one dispatch ---
+lrs = jnp.logspace(-4.5, -1.5, 64)
+engl = avt.FusedChainsADVI(spec, n_chains=64, n_samples=10, lr=lrs)
+stl = engl.init(jnp.zeros((64, d)), 0.1 * jnp.ones((64, d)))
+stl = engl.run_chunk(stl, jax.random.key(5), steps=60_000)
+el = jax.device_get(stl.elbo)[:64]
+best = int(el.argmax())
+print(f"lr sweep:          best lr {float(lrs[best]):.2e} "
+      f"(in-kernel elbo {el[best]:.2f})")

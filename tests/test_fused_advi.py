@@ -815,6 +815,65 @@ def test_fused_minibatch_logreg_matches_manual_loop():
     )
 
 
+def test_fused_minibatch_composes_with_prox_engine():
+    """The in-kernel minibatch spec is orthogonal to the algorithm axis:
+    FusedProxADVI over logreg_minibatch_spec equals a manual prox-descent
+    loop whose per-step target is the library's subsample restriction."""
+    import math
+
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import FusedProxADVI
+
+    n_data, feats, B = 64, 4, 16
+    prob = make_logreg(jax.random.key(2), n_data=n_data, n_features=feats)
+    d = prob.dim
+    nb = n_data // B
+    Tm = nb + 2
+    n_s = 6
+    lr = 5e-3
+
+    spec = logreg_minibatch_spec(prob.X, prob.y, batch_size=B)
+    eng = FusedProxADVI(
+        spec, n_samples=n_s, optimizer="descent", lr=lr, interpret=True,
+    )
+
+    rng = np.random.default_rng(1)
+    draws = [
+        rng.standard_normal((n_s, d)).astype(np.float32) for _ in range(Tm)
+    ]
+
+    mu = jnp.zeros(d)
+    sig = 0.1 * jnp.ones(d)
+    avg = (mu, sig)
+    for it in range(Tm):
+        k = it % nb
+        tgt = prob.subsample(jnp.arange(k * B, (k + 1) * B)).unconstrained()
+        u = jnp.asarray(draws[it])
+
+        def loss(params, u=u, tgt=tgt):
+            m, s = params
+            z = m + s * u
+            energy = jnp.mean(jax.vmap(tgt.log_density)(z))
+            ent = jnp.sum(jnp.log(jax.lax.stop_gradient(s))) + 0.5 * d * (
+                1 + math.log(2 * math.pi)
+            )  # closed_form_zero_grad: detached
+            return -(energy + ent)
+
+        g = jax.grad(loss)((mu, sig))
+        mu = mu - lr * g[0]
+        sig = sig - lr * g[1]
+        sig = sig / 2.0 + jnp.sqrt(sig * sig + 4.0 * lr) / 2.0  # prox
+        w = 9.0 / (it + 1 + 8.0)
+        avg = jax.tree.map(lambda a, p: (1 - w) * a + w * p, avg, (mu, sig))
+
+    fstate = eng.run_chunk(
+        eng.init(jnp.zeros(d), 0.1 * jnp.ones(d)),
+        jax.random.key(1), steps=Tm, noise=_pack_noise(draws),
+    )
+    assert_allclose(fstate.mu[0, :d], mu, rtol=1e-5, atol=1e-6)
+    assert_allclose(fstate.sig[0, :d], sig, rtol=1e-5, atol=1e-6)
+    assert_allclose(fstate.avg_mu[0, :d], avg[0], rtol=1e-5, atol=1e-6)
+
+
 def test_fused_minibatch_validation_and_trailing_drop():
     X = jnp.ones((70, 4))
     y = jnp.zeros((70,))

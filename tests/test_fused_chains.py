@@ -253,6 +253,86 @@ def test_fused_chains_per_chain_lr_sweep(flagship):
         FusedChainsADVI(spec, n_chains=3, lr=jnp.ones(5), interpret=True)
 
 
+def test_fused_chains_prox_and_scoregrad_match_single_engines(flagship):
+    """The chains kernel's prox-DoWG and VarGrad branches equal the
+    single-chain FusedProxADVI / FusedScoreGradVI on the same draws
+    (which are themselves pinned to the general path)."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        N_PAD,
+        FusedProxADVI,
+        FusedScoreGradVI,
+    )
+
+    prob, _ = flagship
+    d = prob.dim
+    spec = logreg_spec(prob.X, prob.y, prior_scale=prob.prior_scale,
+                       likeadj=float(prob.likeadj))
+    rng = np.random.default_rng(13)
+    draws = rng.standard_normal((T, N_SAMPLES, d)).astype(np.float32)
+    loc0 = 0.1 * jnp.ones(d)
+    sd0 = 0.15 * jnp.ones(d)
+
+    noise_s = np.zeros((T * N_PAD, 128), np.float32)
+    for t in range(T):
+        noise_s[t * N_PAD : t * N_PAD + N_SAMPLES, :d] = draws[t]
+
+    for kind in ("prox", "scoregrad"):
+        if kind == "prox":
+            single = FusedProxADVI(
+                spec, n_samples=N_SAMPLES, optimizer="dowg",
+                interpret=True,
+            )
+            chains = FusedChainsADVI(
+                spec, n_chains=2, n_samples=N_SAMPLES, interpret=True,
+                optimizer="dowg", entropy=single.entropy, operator="prox",
+            )
+        else:
+            single = FusedScoreGradVI(
+                spec, n_samples=N_SAMPLES, optimizer="dowg",
+                operator="clip", interpret=True,
+            )
+            chains = FusedChainsADVI(
+                spec, n_chains=2, n_samples=N_SAMPLES, interpret=True,
+                optimizer="dowg", grad_est="scoregrad", operator="clip",
+            )
+        fs = single.run_chunk(
+            single.init(loc0, sd0), jax.random.key(0), steps=T,
+            noise=jnp.asarray(noise_s),
+        )
+        R = chains.n_samples * chains.c_pad
+        noise_c = np.zeros((T * R, 128), np.float32)
+        for t in range(T):
+            for s in range(N_SAMPLES):
+                for c in range(2):
+                    noise_c[t * R + s * chains.c_pad + c, :d] = draws[t, s]
+        fc = chains.run_chunk(
+            chains.init(jnp.tile(loc0, (2, 1)), jnp.tile(sd0, (2, 1))),
+            jax.random.key(0), steps=T, noise=jnp.asarray(noise_c),
+        )
+        for c in range(2):
+            assert_allclose(fc.mu[c], fs.mu[0], rtol=1e-5, atol=1e-7,
+                            err_msg=kind)
+            assert_allclose(fc.sig[c], fs.sig[0], rtol=1e-5, atol=1e-7,
+                            err_msg=kind)
+            assert_allclose(fc.avg_mu[c], fs.avg_mu[0], rtol=1e-5,
+                            atol=1e-7, err_msg=kind)
+        # per-chain DoWG accumulators == the single engine's scalars
+        assert_allclose(float(fc.v_mu[0, 0]), float(fs.v_mu[0, 0]),
+                        rtol=1e-5, err_msg=kind)
+        assert_allclose(float(fc.v_mu[0, 1]), float(fs.v_mu[0, 1]),
+                        rtol=1e-5, err_msg=kind)
+        assert_allclose(float(fc.elbo[0]), float(fs.elbo), rtol=1e-4,
+                        atol=1e-4, err_msg=kind)
+    # padded chains stayed inert through prox/dowg
+    assert np.all(np.asarray(fc.sig[2:, :]) == 1.0)
+
+    with pytest.raises(ValueError, match="prox"):
+        FusedChainsADVI(spec, n_chains=2, optimizer="adam", operator="prox")
+    with pytest.raises(ValueError, match="n_samples >= 2"):
+        FusedChainsADVI(spec, n_chains=2, n_samples=1,
+                        grad_est="scoregrad")
+
+
 def test_fused_chains_validation(flagship):
     prob, _ = flagship
     spec = logreg_spec(prob.X, prob.y)
