@@ -11,6 +11,9 @@ kernels (one dispatch per chunk of steps), plus the multi-chain engine:
 Run: python examples/fused_engines.py   (requires the TPU)
 """
 
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 

@@ -8,6 +8,9 @@ already-scan-fused general path; BENCH_NOTES "Round 4").
 Run: python examples/fused_flagship.py   (requires the TPU)
 """
 
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
 
