@@ -29,7 +29,11 @@ Semantics match ``KLMinRepGradDescent(entropy=STL, n_samples=n,
 optimizer=optax.adam(lr), operator=ClipScale())`` + ``PolynomialAveraging``
 exactly, EXCEPT the RNG stream: base normals come from the on-chip PRNG
 (Box-Muller, as the samplers in location_scale_kernels.py), not from the
-JAX key hierarchy.  The update math is pinned against the general path by
+JAX key hierarchy.  The stream is STEP-INDEXED — the kernel reseeds each
+iteration with the global step index, so draws depend on (key, iteration)
+only and chunked/checkpoint-resumed runs are bitwise-identical to
+single-run (the library's per-step fold_in invariant, VERDICT r4 #3).
+The update math is pinned against the general path by
 injecting the general path's own base draws through the ``noise`` debug
 input and asserting the resulting states match (tests/test_fused_advi.py);
 the RNG path is validated statistically on hardware (BENCH_NOTES).
@@ -250,11 +254,6 @@ def _kernel(
         block_off = 0
 
     it0 = it0_ref[0] + block_off
-    if not use_noise:
-        # Chunk-unique stream: fold the starting iteration into seed word 0
-        # (v5e: max 2 seed words).  Skipped entirely on the noise-injection
-        # debug path so interpret mode never touches TPU RNG primitives.
-        pltpu.prng_seed(seed_ref[0] + it0 * _GOLD, seed_ref[1])
 
     # masks (f32): valid q dims j < d; sample rows < n_samples.
     # Lane width is read off the state refs (static at trace time), so the
@@ -292,6 +291,14 @@ def _kernel(
             # chunk-local row: block offset + in-block index (traced grid)
             u = noise_ref[pl.ds((block_off + i) * N_PAD, N_PAD), :]
         else:
+            # STEP-INDEXED stream (VERDICT r4 #3): reseed per step with the
+            # GLOBAL iteration folded into seed word 0 (v5e: max 2 seed
+            # words), so the draw at iteration t is a function of (key, t)
+            # only — run_chunk(a+b) == run_chunk(a); run_chunk(b) bitwise,
+            # restoring the library's per-step fold_in resume invariant
+            # (optimize.py).  Skipped entirely on the noise-injection debug
+            # path so interpret mode never touches TPU RNG primitives.
+            pltpu.prng_seed(seed_ref[0] + (it0 + i) * _GOLD, seed_ref[1])
             u = _box_muller((N_PAD, dp))
         u = u * maskn * maskd
 
@@ -404,7 +411,9 @@ def _kernel(
                 r = jnp.maximum(dist, r_prev)
                 gsq = jnp.sum(dmu * dmu) + jnp.sum(dsig * dsig)
                 v = v_prev + r * r * gsq
-                eta = r * r / jnp.sqrt(v)
+                # guard matches fused_chains (ADVICE r4): an exactly-zero
+                # first gradient gives v = 0; without the floor eta = inf.
+                eta = r * r / jnp.sqrt(jnp.maximum(v, 1e-30))
                 v_mu = l0 * v + l1 * r
             else:
                 eta = lr
@@ -986,6 +995,9 @@ class FusedADVI:
         self.entropy = ENT_STL
         self.grad_est = GE_REPGRAD
         self.operator = OP_CLIP
+        # default DoWG/DoG r0 scale so init() is self-contained even when a
+        # caller sets eng.algo directly (ADVICE r4); subclasses overwrite.
+        self.alpha = 1e-6
 
     def _scale_zeros(self):
         if self.family == MEANFIELD:
@@ -1048,22 +1060,28 @@ class FusedADVI:
         key: jax.Array,
         steps: int,
         noise: Optional[jax.Array] = None,
+        model: Optional[FusedModelSpec] = None,
     ) -> FusedADVIState:
         """Advance ``steps`` iterations in one kernel dispatch.
 
         ``noise``: optional (steps * N_PAD, D_PAD) pre-drawn base normals
         (debug/parity path; replaces the on-chip RNG).
 
-        RNG-stream caveat (ADVICE r3): in RNG mode the stream is
-        CHUNK-dependent — the seed folds in the starting iteration once
-        per chunk and bits are then consumed sequentially, so
-        ``run_chunk(100k)`` and ``run_chunk(50k)`` twice draw different
-        noise (equally valid streams), and checkpoint resume is NOT
-        bitwise-identical here, unlike the library-wide PRNG invariant
-        (per-step fold_in).  The noise-injection path IS chunk-associative
-        (tests/test_fused_advi.py).
+        RNG stream: STEP-INDEXED (round 5; VERDICT r4 #3) — the kernel
+        reseeds the on-chip PRNG each iteration with the global step index
+        folded into the seed, so the draw at iteration t is a function of
+        (key, t) only.  ``run_chunk(100k)`` == ``run_chunk(50k)`` twice
+        bitwise, and checkpoint resume is bitwise-identical, matching the
+        library-wide per-step fold_in invariant (chip-validated,
+        BENCH_NOTES "Round 5").  The noise-injection path is
+        chunk-associative by construction (tests/test_fused_advi.py).
+
+        ``model``: optional FusedModelSpec overriding ``self.model`` (same
+        static_cfg/step_factory family — only consts/scalars may differ);
+        the functional-driver path threads reshuffled minibatch specs
+        through this instead of mutating the engine.
         """
-        state, _ = self._run(state, key, steps, noise, 0)
+        state, _ = self._run(state, key, steps, noise, 0, model)
         return state
 
     def run_chunk_traced(
@@ -1073,6 +1091,7 @@ class FusedADVI:
         steps: int,
         log_every: int,
         noise: Optional[jax.Array] = None,
+        model: Optional[FusedModelSpec] = None,
     ):
         """Like ``run_chunk`` but also returns the thinned on-device ELBO
         trace: a ``(steps // log_every,)`` array holding the ELBO estimate
@@ -1080,9 +1099,10 @@ class FusedADVI:
         recorded in-kernel — zero extra host syncs)."""
         if log_every < 1:
             raise ValueError(f"log_every must be >= 1, got {log_every}")
-        return self._run(state, key, steps, noise, log_every)
+        return self._run(state, key, steps, noise, log_every, model)
 
-    def _run(self, state, key, steps, noise, log_every):
+    def _run(self, state, key, steps, noise, log_every, model=None):
+        model = self.model if model is None else model
         use_noise = noise is not None
         if use_noise:
             expect = (steps * N_PAD, self.d_pad)
@@ -1100,10 +1120,10 @@ class FusedADVI:
             state.m_sig, state.v_sig, state.avg_mu, state.avg_sig,
         )
         out = _run_chunk(
-            seed, it0, self.hyp, self.model.scalars, tuple(self.model.consts),
+            seed, it0, self.hyp, model.scalars, tuple(model.consts),
             noise, arrays,
-            family=self.family, step_factory=self.model.step_factory,
-            static_cfg=self.model.static_cfg, n_samples=self.n_samples,
+            family=self.family, step_factory=model.step_factory,
+            static_cfg=model.static_cfg, n_samples=self.n_samples,
             d=self.dim, steps=steps, use_noise=use_noise,
             interpret=self.interpret, log_every=log_every,
             algo=self.algo, entropy=self.entropy, d_pad=self.d_pad,
@@ -1143,8 +1163,8 @@ class FusedADVI:
         start.  Divergence is checked per recorded row, so the raise names
         the first non-finite iteration at log_every granularity (the
         general driver is exact-step; here exactness would cost a per-step
-        host channel).  RNG caveat: see run_chunk (stream is
-        chunk-layout-dependent).
+        host channel).  The RNG stream is step-indexed (see run_chunk), so
+        warm-started runs resume bitwise.
         """
         import numpy as np
 
@@ -1169,6 +1189,11 @@ class FusedADVI:
         max_rows = max(8, (1024 * 128) // self.d_pad)
         chunk = min(chunk, max_rows * log_every)
         infos: list = []
+        # model is threaded FUNCTIONALLY through the loop (reshuffles bind
+        # to this local, never to self.model — VERDICT r4 weak #3): a second
+        # optimize on the same engine starts from the constructor's data
+        # order, identical to a fresh engine.
+        model = self.model
         done = int(state.iteration)
         start = done
         end = start + max_iter
@@ -1176,7 +1201,7 @@ class FusedADVI:
             n = min(chunk, end - done)
             state, trace = self.run_chunk_traced(
                 state, key, steps=(n // log_every) * log_every or n,
-                log_every=min(log_every, n),
+                log_every=min(log_every, n), model=model,
             )
             tr = np.asarray(jax.device_get(trace))
             rem = n - (n // log_every) * log_every if n >= log_every else 0
@@ -1195,7 +1220,7 @@ class FusedADVI:
                     )
             done = int(state.iteration)
             if rem:
-                state = self.run_chunk(state, key, steps=rem)
+                state = self.run_chunk(state, key, steps=rem, model=model)
                 done = int(state.iteration)
                 row = {
                     "elbo": float(jax.device_get(state.elbo)),
@@ -1208,12 +1233,12 @@ class FusedADVI:
                         f"{row['iteration']}. This indicates that the "
                         "optimization diverged."
                     )
-            if self.model.reshuffle is not None and done < end:
+            if model.reshuffle is not None and done < end:
                 # data-order refresh between chunks (minibatch models);
                 # consts are traced inputs, so this never recompiles
-                self.model = self.model._replace(
-                    consts=self.model.reshuffle(
-                        jax.random.fold_in(key, done), self.model.consts
+                model = model._replace(
+                    consts=model.reshuffle(
+                        jax.random.fold_in(key, done), model.consts
                     )
                 )
             if progress is not None and infos:
@@ -1346,6 +1371,20 @@ class FusedScoreGradVI(FusedADVI):
             raise ValueError(
                 "the VarGrad estimator needs n_samples >= 2 (sample "
                 f"variance), got {n_samples}"
+            )
+        if operator == OP_NONE:
+            # constructor warning parity with the general path
+            # (algorithms/paramspace.py:106; reference common.jl:42-46) —
+            # the engine always runs a location-scale family, and the
+            # identity operator is a known on-chip NaN on the flagship
+            # target (BENCH_NOTES "Fused ScoreGrad").
+            import warnings
+
+            warnings.warn(
+                "IdentityOperator is used with a location-scale variational "
+                "family. Optimization can fail due to singular scale "
+                "matrices; consider using ClipScale. "
+                "(reference behavior: common.jl:42-46)"
             )
         super().__init__(
             model, family=MEANFIELD, n_samples=n_samples, lr=lr,

@@ -24,8 +24,8 @@ model registry.  Semantics per chain match ``FusedADVI`` (and therefore
 ``KLMinRepGradDescent(entropy=STL, optimizer=adam, operator=ClipScale())``
 + polynomial averaging); the per-chain update math is pinned against C
 independent general-path runs by injected noise (tests/test_fused_chains
-.py).  Same RNG-stream caveat as fused_advi.run_chunk: the on-chip
-stream is chunk-layout-dependent.
+.py).  RNG stream as fused_advi.run_chunk: step-indexed (per-iteration
+reseed with the global step), so chunked runs resume bitwise.
 
 No reference counterpart: the reference optimizes one chain per process
 (src/optimize.jl); multi-start VI there is a shell loop.
@@ -116,8 +116,6 @@ def _chains_kernel(
     clip_eps = hyp_ref[5]
 
     it0 = it0_ref[0]
-    if not use_noise:
-        pltpu.prng_seed(seed_ref[0] + it0 * _GOLD, seed_ref[1])
 
     R = n_samples * c_pad
     dp = state_in[0].shape[1]      # lane width, static at trace time
@@ -154,6 +152,9 @@ def _chains_kernel(
         if use_noise:
             u = noise_ref[pl.ds(i * R, R), :]
         else:
+            # step-indexed stream, as fused_advi._kernel: the draw at
+            # iteration t depends on (key, t) only -> bitwise resume
+            pltpu.prng_seed(seed_ref[0] + (it0 + i) * _GOLD, seed_ref[1])
             u = _box_muller((R, dp))
         u = u * maskR * maskd
 
@@ -400,6 +401,15 @@ class FusedChainsADVI:
         # the one kernel (padded chains get lr 0 — doubly inert).
         self.lrs = None
         if hasattr(lr, "shape") and getattr(lr, "shape", ()) != ():
+            if optimizer not in (ALGO_ADAM, ALGO_DESCENT):
+                # ADVICE r4: DoWG is parameter-free — the kernel never
+                # reads lr in that branch, so a per-chain lr array would
+                # silently run C identical-step-size chains.
+                raise ValueError(
+                    f"per-chain lr sweeps need a step-size-driven optimizer "
+                    f"('{ALGO_ADAM}' or '{ALGO_DESCENT}'); "
+                    f"optimizer={optimizer!r} never reads lr"
+                )
             lr = jnp.asarray(lr, jnp.float32)
             if lr.shape != (n_chains,):
                 raise ValueError(
@@ -481,8 +491,8 @@ class FusedChainsADVI:
 
         ``noise``: optional (steps * n_samples * c_pad, D_PAD) pre-drawn
         base normals (debug/parity path), row r of a step belonging to
-        chain ``r % c_pad``.  Same chunk-layout RNG caveat as
-        FusedADVI.run_chunk.
+        chain ``r % c_pad``.  RNG stream step-indexed as
+        FusedADVI.run_chunk (bitwise chunk-associative).
         """
         R = self.n_samples * self.c_pad
         use_noise = noise is not None

@@ -452,13 +452,13 @@ def test_fused_optimize_bookkeeping(flagship, monkeypatch):
     eng = FusedLogRegADVI(prob.X, prob.y, interpret=True)
     d = prob.dim
 
-    def fake_traced(state, key, steps, log_every, noise=None):
+    def fake_traced(state, key, steps, log_every, noise=None, model=None):
         g = steps // log_every
         it = state.iteration + steps
         new = state._replace(iteration=it, elbo=jnp.float32(-1.0))
         return new, jnp.full((g,), -1.0, jnp.float32)
 
-    def fake_chunk(state, key, steps, noise=None):
+    def fake_chunk(state, key, steps, noise=None, model=None):
         return state._replace(
             iteration=state.iteration + steps, elbo=jnp.float32(-1.0)
         )
@@ -486,7 +486,7 @@ def test_fused_optimize_bookkeeping(flagship, monkeypatch):
         eng.optimize(jax.random.key(0), 100)
 
     # divergence raise names the first non-finite recorded row
-    def nan_traced(state, key, steps, log_every, noise=None):
+    def nan_traced(state, key, steps, log_every, noise=None, model=None):
         g = steps // log_every
         tr = np.full((g,), -1.0, np.float32)
         if g >= 2:
@@ -508,7 +508,7 @@ def test_fused_optimize_bookkeeping(flagship, monkeypatch):
 
     # divergence in the REMAINDER chunk (steps beyond the last log_every
     # grid row) must also raise (r4 review finding)
-    def nan_chunk(state, key, steps, noise=None):
+    def nan_chunk(state, key, steps, noise=None, model=None):
         return state._replace(
             iteration=state.iteration + steps, elbo=jnp.float32(np.nan)
         )
@@ -903,7 +903,7 @@ def test_fused_optimize_calls_reshuffle(flagship, monkeypatch):
     spec = spec._replace(reshuffle=spy_reshuffle)
     eng = FusedADVI(spec, n_samples=4, interpret=True)
 
-    def fake_traced(state, key, steps, log_every, noise=None):
+    def fake_traced(state, key, steps, log_every, noise=None, model=None):
         g = steps // log_every
         return state._replace(
             iteration=state.iteration + steps, elbo=jnp.float32(-1.0)
@@ -916,3 +916,76 @@ def test_fused_optimize_calls_reshuffle(flagship, monkeypatch):
     )
     # reshuffled between chunks (after chunk 1 and 2; not after the last)
     assert len(calls) == 2
+
+
+def test_fused_optimize_is_functional(flagship, monkeypatch):
+    """optimize never mutates the engine (VERDICT r4 weak #3): reshuffled
+    minibatch specs thread through a local, so a second optimize on the
+    same engine sees the constructor's data order, like a fresh engine."""
+    prob, _ = flagship
+    spec = logreg_minibatch_spec(prob.X, prob.y, batch_size=16)
+    consts0 = spec.consts
+    calls = []
+
+    def spy_reshuffle(k, consts):
+        calls.append(int(jax.random.key_data(k)[-1]))
+        # return DIFFERENT consts so mutation (if any) would be visible
+        return tuple(c + 1.0 for c in consts)
+
+    spec = spec._replace(reshuffle=spy_reshuffle)
+    eng = FusedADVI(spec, n_samples=4, interpret=True)
+    seen_models = []
+
+    def fake_traced(state, key, steps, log_every, noise=None, model=None):
+        seen_models.append(model)
+        g = steps // log_every
+        return state._replace(
+            iteration=state.iteration + steps, elbo=jnp.float32(-1.0)
+        ), jnp.full((g,), -1.0, jnp.float32)
+
+    monkeypatch.setattr(eng, "run_chunk_traced", fake_traced)
+    q0 = avt.MeanFieldGaussian(jnp.zeros(prob.dim), 0.1 * jnp.ones(prob.dim))
+    eng.optimize(jax.random.key(0), 3_000, q0, chunk_size=1_000, log_every=100)
+    # the engine's own spec is untouched...
+    assert eng.model.consts is consts0
+    # ...while the loop's chunks saw the reshuffled consts
+    assert_allclose(
+        np.asarray(seen_models[1].consts[1] - consts0[1]), 1.0, rtol=1e-5
+    )
+    calls_first = list(calls)
+    seen_first = [m.consts[1] for m in seen_models]
+    calls.clear()
+    seen_models.clear()
+    # second run on the SAME engine == fresh engine: identical reshuffle
+    # keys and identical per-chunk consts
+    eng.optimize(jax.random.key(0), 3_000, q0, chunk_size=1_000, log_every=100)
+    assert calls == calls_first
+    for a, b in zip(seen_first, (m.consts[1] for m in seen_models)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_scoregrad_identity_operator_warns(flagship):
+    """Constructor warning parity with algorithms/paramspace.py:106
+    (reference common.jl:42-46) for the known-NaN default pairing."""
+    import warnings
+
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import FusedScoreGradVI
+
+    prob, _ = flagship
+    spec = logreg_spec(prob.X, prob.y)
+    with pytest.warns(UserWarning, match="IdentityOperator"):
+        FusedScoreGradVI(spec, operator="none")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        FusedScoreGradVI(spec, operator="clip")  # no warning
+
+
+def test_fused_dowg_attr_config_init_is_self_contained(flagship):
+    """Setting eng.algo='dowg' on a plain FusedADVI (the class's own
+    attribute-configuration pattern) must not AttributeError in init()
+    (ADVICE r4: alpha now has a base-class default)."""
+    prob, _ = flagship
+    eng = FusedADVI(logreg_spec(prob.X, prob.y), n_samples=4, interpret=True)
+    eng.algo = "dowg"
+    st = eng.init(jnp.zeros(prob.dim), 0.1 * jnp.ones(prob.dim))
+    assert float(st.v_mu[0, 1]) > 0.0  # r0 = alpha (1 + ||x0||)

@@ -358,3 +358,24 @@ def test_fused_chains_validation(flagship):
         )
         eng.run_chunk(st8, jax.random.key(0), steps=2,
                       noise=jnp.zeros((8, D_PAD)))
+
+
+def test_chains_lr_sweep_requires_stepsize_driven_optimizer():
+    """ADVICE r4: a per-chain lr array with a parameter-free optimizer
+    would silently run identical chains — must raise at construction."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from advancedvi_jl_tpu.models.logreg import make_logreg
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import logreg_spec
+    from advancedvi_jl_tpu.ops.pallas.fused_chains import FusedChainsADVI
+
+    prob = make_logreg(jax.random.key(3), n_data=32, n_features=6)
+    spec = logreg_spec(prob.X, prob.y)
+    lrs = jnp.geomspace(1e-4, 1e-1, 8)
+    with pytest.raises(ValueError, match="step-size-driven"):
+        FusedChainsADVI(spec, n_chains=8, lr=lrs, optimizer="dowg")
+    # adam and descent sweeps stay valid
+    FusedChainsADVI(spec, n_chains=8, lr=lrs, optimizer="adam")
+    FusedChainsADVI(spec, n_chains=8, lr=lrs, optimizer="descent")
