@@ -127,6 +127,7 @@ from .ops.pallas.fused_advi import (  # whole-loop fused engines (TPU)
     FusedModelSpec,
     FusedProxADVI,
     FusedScoreGradVI,
+    ad_spec,
     fused_spec_for,
     logreg_minibatch_spec,
 )

@@ -173,7 +173,10 @@ class Stacked(Transform):
         ldj = jnp.zeros((), dtype=x.dtype)
         offset = 0
         for t, n in zip(self.transforms, self.sizes):
-            y, l = t.forward_and_ldj(jax.lax.dynamic_slice_in_dim(x, offset, n))
+            # offsets are Python ints: a static slice (not dynamic_slice)
+            # keeps the op Mosaic-lowerable when this runs INSIDE a fused
+            # Pallas kernel via an AD-derived model spec (fused_advi.ad_spec)
+            y, l = t.forward_and_ldj(x[offset : offset + n])
             pieces.append(y)
             ldj = ldj + l
             offset += n
@@ -186,9 +189,7 @@ class Stacked(Transform):
             # output size of this block (differs from n for dim-changing
             # transforms like the simplex)
             n_out = t.forward(jnp.zeros((n,), y.dtype)).shape[0]
-            pieces.append(
-                t.inverse(jax.lax.dynamic_slice_in_dim(y, offset, n_out))
-            )
+            pieces.append(t.inverse(y[offset : offset + n_out]))
             offset += n_out
         return jnp.concatenate(pieces)
 

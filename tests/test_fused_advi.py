@@ -424,23 +424,29 @@ def test_fused_spec_registry(flagship):
 
     with pytest.raises(ValueError, match="unconstrained"):
         avt.fused_spec_for(prob)  # constrained-space LogReg
-    with pytest.raises(ValueError, match="no fused model spec"):
+    # non-pytree, value-only objects still fail with the reason
+    with pytest.raises((ValueError, AttributeError)):
         avt.fused_spec_for(object())
     # a TransformedTarget with a DIFFERENT transform than the model's own
-    # unconstrained() bijector must be rejected (the in-kernel gradient
-    # hard-codes the Exp derivation — r4 review finding)
+    # unconstrained() bijector must NOT take the hand-derived gradient
+    # path (it hard-codes the Exp derivation — r4 review finding); since
+    # round 5 it routes to the generic AD-derived spec instead of raising.
     from advancedvi_jl_tpu.core.transforms import (
         Softplus,
         TransformedTarget,
         stacked,
     )
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import _ad_step_factory
 
     wrong = TransformedTarget(
         prob=prob,
         transform=stacked((Softplus(), prob.dim - 1), (Softplus(), 1)),
     )
-    with pytest.raises(ValueError, match="transform"):
-        avt.fused_spec_for(wrong)
+    spec_wrong = avt.fused_spec_for(wrong)
+    assert spec_wrong.step_factory is _ad_step_factory
+    assert spec_wrong.dim == prob.dim
+    # ...while the model's own transform keeps the fast hand spec
+    assert spec.step_factory is not _ad_step_factory
 
 
 def test_fused_optimize_bookkeeping(flagship, monkeypatch):
