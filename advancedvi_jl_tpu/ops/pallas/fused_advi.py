@@ -22,8 +22,10 @@ round-3 logreg special):
   which is exactly the unconstrained normal-lognormal BASELINE model).
 - **family**: mean-field (diagonal scale) or full-rank (dense
   lower-triangular scale).  The full-rank STL whitening C^{-T}u is an
-  in-kernel back-substitution unrolled over the d real rows; the scale
-  gradient tril(g_z^T u) is one MXU matmul.
+  in-kernel back-substitution — row-unrolled on one lane tile (d <= 128),
+  blocked over 128-tiles with Newton diagonal-block inverses above it
+  (d <= D_FULLRANK_MAX) — and the scale gradient tril(g_z^T u) is one MXU
+  matmul.
 
 Semantics match ``KLMinRepGradDescent(entropy=STL, n_samples=n,
 optimizer=optax.adam(lr), operator=ClipScale())`` + ``PolynomialAveraging``
@@ -83,14 +85,20 @@ from .location_scale_kernels import _box_muller, key_to_seed
 D_PAD = 128     # default lane-padded parameter dimension (one lane tile)
 N_PAD = 16      # sublane-padded sample count (n_samples <= 16)
 D_PAD_MAX = 2048  # mean-field engines: widest supported lane padding
+# full-rank engines: the dense (dp, dp) scale + its 3 optimizer/averager
+# companions appear as separate in+out kernel refs (8 dp^2 f32 buffers);
+# 512 keeps that under ~8 MB of the ~16 MB VMEM with headroom for the
+# kernel's live (dp, dp) temporaries (tril masks, dsig matmul product).
+D_FULLRANK_MAX = 512
 
 
 def d_pad_for(d: int) -> int:
     """Lane padding for a d-dim model: the next multiple of 128.  The
     mean-field engines are fully parametric in this width (state rows are
-    (1, d_pad), sample blocks (N_PAD, d_pad)); full-rank engines are
-    capped at one lane tile (d <= 128) because the in-kernel
-    back-substitution unrolls over d rows."""
+    (1, d_pad), sample blocks (N_PAD, d_pad)); full-rank engines support
+    d <= D_FULLRANK_MAX (row-unrolled back-substitution on one lane tile,
+    blocked Newton substitution above it; cap is the 8 dense scale-shaped
+    VMEM buffers)."""
     return max(D_PAD, -(-d // D_PAD) * D_PAD)
 
 
@@ -220,6 +228,54 @@ def _backsub_ct(C, u, d, lane):
         mask_lt = (lane < j).astype(jnp.float32)
         r = r - vj * (crow * mask_lt)
     return v
+
+
+def _backsub_ct_blocked(C, u, block=D_PAD):
+    """v = C^{-T} u, blocked over 128-column tiles (VERDICT r4 #2).
+
+    Row form: v_i = C^{-T} u_i per sample row is V = U @ C^{-1}, the
+    trisolve kernel's right-division mode "C" (ops/pallas/trisolve_kernels
+    .py) restated on VALUES inside the fused kernel: walk diagonal blocks
+    BACKWARD; per block b, invert the (B, B) diagonal block D_b by the
+    exactly-terminating Newton iteration (the diagonal-seed residual is
+    strictly triangular, hence nilpotent — ceil(log2 B) doublings are
+    exact, all MXU matmuls), form W_b = resid_b @ D_b^{-1}, and subtract
+    the FULL-WIDTH right-looking update W_b @ C[bB:(b+1)B, :]: columns
+    right of the triangle are zero in C (no-op), the block-b region gets
+    corrupted but is never read again (blocks are visited backward), and
+    blocks left of b receive exactly the off-diagonal contribution.
+
+    C: (dp, dp) lower-triangular value, padded diag 1.0 (so padded blocks
+    invert to identity and their zero residuals stay zero); u: (rows, dp)
+    with padded lanes zero.  Static Python loop — dp/128 blocks, each
+    2*ceil(log2 128)+2 matmuls: O(dp/128) sequential depth instead of the
+    d-row unroll's O(d), and a jaxpr that stays small at d = 512 (the
+    unroll was also a compile-time liability).  Reference family has no
+    dimension cap (src/families/location_scale.jl:71-87); this lifts the
+    fused engine's d <= 128 to D_FULLRANK_MAX.
+    """
+    dp = C.shape[0]
+    nb = dp // block
+    row = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    eye = (row == col).astype(jnp.float32)
+    nnewton = max(1, (block - 1).bit_length())   # ceil(log2(block))
+    ws = u
+    out_blocks = [None] * nb
+    for b in range(nb - 1, -1, -1):
+        D = C[b * block : (b + 1) * block, b * block : (b + 1) * block]
+        dvec = jnp.sum(D * eye, axis=1, keepdims=True)   # (B, 1) diagonal
+        X = eye / dvec                                   # Newton seed
+        for _ in range(nnewton):
+            DX = jnp.dot(D, X, preferred_element_type=jnp.float32)
+            X = jnp.dot(X, 2.0 * eye - DX, preferred_element_type=jnp.float32)
+        resid_b = ws[:, b * block : (b + 1) * block]
+        w = jnp.dot(resid_b, X, preferred_element_type=jnp.float32)
+        out_blocks[b] = w
+        if b:  # the last (leftmost) block needs no further updates
+            slab = C[b * block : (b + 1) * block, :]
+            ws = ws - jnp.dot(w, slab, preferred_element_type=jnp.float32)
+    return jnp.concatenate(out_blocks, axis=1)
 
 
 def _kernel(
@@ -360,11 +416,15 @@ def _kernel(
             g_z = -inv_n * grad_logpi * maskn * maskd
         else:
             # STL: dL/dz = -(1/n)(grad_logpi + whiten); the bracket is the
-            # score mismatch and vanishes at q = pi (sticking the landing)
-            whiten = (
-                u / sig if family == MEANFIELD
-                else _backsub_ct(sig, u, d, lane)
-            )
+            # score mismatch and vanishes at q = pi (sticking the landing).
+            # Full-rank: row-unrolled substitution for one lane tile (VPU,
+            # fastest at small d), blocked Newton substitution above it.
+            if family == MEANFIELD:
+                whiten = u / sig
+            elif dp <= D_PAD:
+                whiten = _backsub_ct(sig, u, d, lane)
+            else:
+                whiten = _backsub_ct_blocked(sig, u)
             g_z = -inv_n * (grad_logpi + whiten) * maskn * maskd
 
         if grad_est == GE_REPGRAD:
@@ -1070,11 +1130,11 @@ class FusedADVI:
             raise ValueError(
                 f"fused engine supports dim <= {D_PAD_MAX}, got {model.dim}"
             )
-        if family == FULLRANK and model.dim > D_PAD:
+        if family == FULLRANK and model.dim > D_FULLRANK_MAX:
             raise ValueError(
-                f"the full-rank fused engine supports dim <= {D_PAD} (the "
-                f"in-kernel back-substitution unrolls over d rows), got "
-                f"{model.dim}"
+                f"the full-rank fused engine supports dim <= "
+                f"{D_FULLRANK_MAX} (VMEM: 8 dense scale-shaped kernel "
+                f"buffers), got {model.dim}"
             )
         self.model = model
         self.d_pad = d_pad_for(model.dim)

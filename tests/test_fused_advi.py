@@ -300,10 +300,12 @@ def test_gaussian_spec_rejects_large_dim():
         FusedADVI(
             gaussian_spec(jnp.zeros(4), jnp.ones(4)), family="lowrank"
         )
-    with pytest.raises(ValueError, match="full-rank"):
-        FusedADVI(
-            gaussian_spec(jnp.zeros(200), jnp.ones(200)), family=FULLRANK
-        )
+    # full-rank now supports two+ lane tiles via the blocked substitution
+    # (round 5); the cap moved to D_FULLRANK_MAX (test_fused_fullrank_dim_cap)
+    FusedADVI(
+        gaussian_spec(jnp.zeros(200), jnp.ones(200)), family=FULLRANK,
+        interpret=True,
+    )
 
 
 def test_bench_config_matches_engine_defaults(flagship):
@@ -995,3 +997,84 @@ def test_fused_dowg_attr_config_init_is_self_contained(flagship):
     eng.algo = "dowg"
     st = eng.init(jnp.zeros(prob.dim), 0.1 * jnp.ones(prob.dim))
     assert float(st.v_mu[0, 1]) > 0.0  # r0 = alpha (1 + ||x0||)
+
+
+def test_backsub_blocked_matches_triangular_solve():
+    """_backsub_ct_blocked is pure jnp on values: pin it against XLA's
+    triangular solve directly, padding included."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        _backsub_ct_blocked,
+        _pad_tril,
+    )
+
+    rng = np.random.default_rng(0)
+    for d, dp in [(200, 256), (512, 512)]:
+        C = np.tril(rng.normal(size=(d, d)).astype(np.float32))
+        np.fill_diagonal(C, np.abs(C.diagonal()) + 1.0)
+        Cp = _pad_tril(jnp.asarray(C), dp)
+        u = np.zeros((N_PAD, dp), np.float32)
+        u[:, :d] = rng.normal(size=(N_PAD, d)).astype(np.float32)
+        v = _backsub_ct_blocked(Cp, jnp.asarray(u))
+        want = jax.lax.linalg.triangular_solve(
+            jnp.asarray(C), jnp.asarray(u[:, :d]).T,
+            left_side=True, lower=True, transpose_a=True,
+        ).T
+        # random tril systems are ill-conditioned at d=512; f32 accum
+        # noise ~5e-4 rel (the engine-level d=200 parity pins at 1e-4 on
+        # the well-conditioned scale factors VI actually produces)
+        assert_allclose(np.asarray(v[:, :d]), np.asarray(want),
+                        rtol=2e-3, atol=2e-4)
+        assert np.all(np.asarray(v[:, d:]) == 0.0)
+
+
+def test_fused_fullrank_wide_matches_general_path():
+    """d = 200 full-rank (two lane tiles -> the BLOCKED in-kernel
+    back-substitution, VERDICT r4 #2): injected-noise parity vs the
+    general path above the old d <= 128 cap."""
+    from advancedvi_jl_tpu.models.normal import normal_fullrank
+
+    d = 200
+    target, mu_true, L_true = normal_fullrank(jax.random.key(3), d)
+    q0 = avt.FullRankGaussian(jnp.zeros(d), 0.1 * jnp.eye(d))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=N_SAMPLES,
+        optimizer=optax.adam(1e-3), operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    state, draws, infos = _run_general(alg, state, 3, N_SAMPLES)
+
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import mvnormal_spec
+
+    engine = FusedADVI(
+        mvnormal_spec(target.mu, target.scale_tril),
+        family=FULLRANK, n_samples=N_SAMPLES, lr=1e-3, interpret=True,
+    )
+    assert engine.d_pad == 256
+    fstate = engine.init(q0.location, q0.scale_matrix())
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=3,
+        noise=_pack_noise(draws, engine.d_pad),
+    )
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-4, atol=1e-5)
+    assert_allclose(
+        np.tril(np.asarray(fstate.sig[:d, :d])),
+        np.tril(np.asarray(state.q.scale)),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-3
+    )
+    # padded scale diag stayed 1.0 (inert)
+    assert np.all(np.asarray(fstate.sig)[d:, d:].diagonal() == 1.0)
+
+
+def test_fused_fullrank_dim_cap():
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        D_FULLRANK_MAX,
+        mvnormal_spec,
+    )
+
+    d = D_FULLRANK_MAX + 1
+    spec = gaussian_spec(jnp.zeros(d), jnp.ones(d))
+    with pytest.raises(ValueError, match="full-rank fused engine"):
+        FusedADVI(spec, family=FULLRANK)
