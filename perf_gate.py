@@ -61,6 +61,53 @@ def latest_prior(repo: str = REPO) -> tuple[int, dict] | None:
     return best
 
 
+# BENCH_r04 measured the general path at 227.5k steps/s but recorded it in
+# stderr text only (VERDICT r4 weak #1).  This seeds the general-path gate
+# for the first round whose parsed artifact carries general_steps_per_s;
+# later rounds compare parsed-vs-parsed.  Source: BENCH_r04.json stderr /
+# BENCH_NOTES "Round 4".
+GENERAL_PRIOR_FALLBACK = (4, 227_500.0)
+
+
+def check_all(current: dict, repo: str = REPO) -> tuple[str, bool]:
+    """Gate BOTH longitudinal series of the round artifact (VERDICT r4 #4):
+    the fused headline ``value`` (same metric + engine as the prior) and
+    the general-path ``general_steps_per_s``.  ``current`` is the dict
+    bench.py prints as its JSON line.  Returns a two-verdict string and
+    the conjunction of both gates; a missing current general measurement
+    is info-only (the fused artifact must never be hostage to stage-2
+    failures)."""
+    v, ok = check(
+        current["value"], current.get("engine"),
+        metric=current.get("metric"), repo=repo,
+    )
+    lines = ["fused:   " + v]
+    gen = current.get("general_steps_per_s")
+    if gen is None:
+        lines.append("general: no current measurement — info only")
+    else:
+        prev = rnd = None
+        prior = latest_prior(repo)
+        if prior is not None:
+            rnd, parsed = prior
+            prev = parsed.get("general_steps_per_s")
+        if prev is None:
+            rnd, prev = GENERAL_PRIOR_FALLBACK
+        ratio = gen / prev
+        if ratio < 1.0 - NOISE_BAND:
+            lines.append(
+                f"general: REGRESSION — {gen:.1f} vs r{rnd}'s {prev:.1f} "
+                f"({ratio:.2f}x, band -{NOISE_BAND:.0%})"
+            )
+            ok = False
+        else:
+            lines.append(
+                f"general: pass — {gen:.1f} vs r{rnd}'s {prev:.1f} "
+                f"({ratio:.2f}x)"
+            )
+    return "\n".join(lines), ok
+
+
 def check(
     value: float,
     engine: str | None = None,

@@ -67,3 +67,65 @@ def test_check_engineless_prior_does_not_gate_fused(tmp_path):
 def test_check_no_prior(tmp_path):
     verdict, ok = check(1.0, repo=str(tmp_path))
     assert ok is True and "first run" in verdict
+
+
+def test_check_all_gates_both_series(tmp_path):
+    """VERDICT r4 #4: the gate must actually gate — fused-vs-fused AND
+    general-vs-general, each from parsed artifacts, each failable."""
+    from perf_gate import check_all
+
+    _write(
+        tmp_path, 5,
+        {"parsed": {"metric": "m", "value": 1000.0, "engine": "fused",
+                    "general_steps_per_s": 200.0}},
+    )
+    base = {"metric": "m", "engine": "fused"}
+    # both inside the band
+    verdict, ok = check_all(
+        {**base, "value": 980.0, "general_steps_per_s": 195.0},
+        repo=str(tmp_path),
+    )
+    assert ok is True and verdict.count("pass") == 2
+    # fused regression fails the conjunction
+    verdict, ok = check_all(
+        {**base, "value": 800.0, "general_steps_per_s": 195.0},
+        repo=str(tmp_path),
+    )
+    assert ok is False and "REGRESSION" in verdict
+    # general regression alone also fails it
+    verdict, ok = check_all(
+        {**base, "value": 980.0, "general_steps_per_s": 150.0},
+        repo=str(tmp_path),
+    )
+    assert ok is False and "general: REGRESSION" in verdict
+    # a failed stage 2 (null general) is info-only, never a gate failure
+    verdict, ok = check_all(
+        {**base, "value": 980.0, "general_steps_per_s": None},
+        repo=str(tmp_path),
+    )
+    assert ok is True and "no current measurement" in verdict
+
+
+def test_check_all_general_fallback_prior(tmp_path):
+    """A prior artifact WITHOUT general_steps_per_s (r04 and earlier)
+    falls back to the documented r04 stderr measurement so the general
+    gate is live from the first parsed round."""
+    from perf_gate import GENERAL_PRIOR_FALLBACK, check_all
+
+    _write(
+        tmp_path, 4,
+        {"parsed": {"metric": "m", "value": 887_300.0, "engine": "fused"}},
+    )
+    prev = GENERAL_PRIOR_FALLBACK[1]
+    verdict, ok = check_all(
+        {"metric": "m", "engine": "fused", "value": 900_000.0,
+         "general_steps_per_s": prev * 0.95},
+        repo=str(tmp_path),
+    )
+    assert ok is True and "r4's" in verdict
+    verdict, ok = check_all(
+        {"metric": "m", "engine": "fused", "value": 900_000.0,
+         "general_steps_per_s": prev * 0.5},
+        repo=str(tmp_path),
+    )
+    assert ok is False and "general: REGRESSION" in verdict
