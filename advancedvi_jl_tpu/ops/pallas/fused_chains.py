@@ -90,7 +90,7 @@ class FusedChainsState(NamedTuple):
 def _chains_kernel(
     # static
     step_factory, static_cfg, n_consts, n_chains, c_pad, n_samples, d,
-    steps, use_noise, use_lrs, algo, entropy, grad_est, operator,
+    steps, use_noise, use_lrs, traced, algo, entropy, grad_est, operator,
     # refs
     *refs,
 ):
@@ -98,6 +98,14 @@ def _chains_kernel(
     # lrs?]; the per-chain learning-rate column replaces the scalar lr
     # when use_lrs (hyperparameter sweeps: C optimizers, C step sizes,
     # one kernel).
+    #
+    # Traced mode (VERDICT r4 #6 — per-chain divergence channel): a
+    # sequential grid of G rows, each executing ``steps`` (= log_every)
+    # iterations and storing the PER-CHAIN last-step ELBO as one row of
+    # the (G, c_pad) trace — same structure as fused_advi._kernel's
+    # traced mode (state persists in the revisited output refs; one
+    # dynamic row store per GRID step, which avoids both Mosaic traps
+    # recorded in CLAUDE.md).
     seed_ref, it0_ref, hyp_ref, mscal_ref = refs[:4]
     const_refs = refs[4 : 4 + n_consts]
     state_in = refs[4 + n_consts : 12 + n_consts]
@@ -105,8 +113,12 @@ def _chains_kernel(
     noise_ref = refs[k] if use_noise else None
     k += 1 if use_noise else 0
     lrs_ref = refs[k] if use_lrs else None
-    (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
-     elbo_o) = refs[-9:]
+    if traced:
+        (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
+         elbo_o, trace_o) = refs[-10:]
+    else:
+        (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
+         elbo_o) = refs[-9:]
 
     lr = lrs_ref[:] if use_lrs else hyp_ref[0]   # (c_pad, 1) | scalar
     b1 = hyp_ref[1]
@@ -115,7 +127,22 @@ def _chains_kernel(
     avg_eta = hyp_ref[4]
     clip_eps = hyp_ref[5]
 
-    it0 = it0_ref[0]
+    if traced:
+        gidx = pl.program_id(0)
+        outs = (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o)
+
+        @pl.when(gidx == 0)
+        def _seed_state():
+            for src, dst in zip(state_in, outs):
+                dst[:] = src[:]
+
+        state_refs = outs
+        block_off = gidx * steps
+    else:
+        state_refs = state_in
+        block_off = 0
+
+    it0 = it0_ref[0] + block_off
 
     R = n_samples * c_pad
     dp = state_in[0].shape[1]      # lane width, static at trace time
@@ -150,7 +177,7 @@ def _chains_kernel(
         it_f = (it0 + i).astype(jnp.float32)
 
         if use_noise:
-            u = noise_ref[pl.ds(i * R, R), :]
+            u = noise_ref[pl.ds((block_off + i) * R, R), :]
         else:
             # step-indexed stream, as fused_advi._kernel: the draw at
             # iteration t depends on (key, t) only -> bitwise resume
@@ -256,7 +283,7 @@ def _chains_kernel(
 
         return (mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo_c)
 
-    init = tuple(r[:] for r in state_in) + (
+    init = tuple(r[:] for r in state_refs) + (
         jnp.zeros((c_pad, 1), jnp.float32),
     )
     mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo_c = (
@@ -271,6 +298,12 @@ def _chains_kernel(
     amu_o[:] = a_mu
     asig_o[:] = a_sig
     elbo_o[:] = elbo_c + jnp.zeros((c_pad, dp), jnp.float32)
+    if traced:
+        # this grid step's (1, c_pad) row of the per-chain ELBO trace —
+        # a NaN/diverged chain is visible at log_every granularity
+        # without a full run (VERDICT r4 #6).  Full-array trace block
+        # (constant index map), one dynamic row store per grid step.
+        trace_o[pl.ds(pl.program_id(0), 1)] = jnp.reshape(elbo_c, (1, c_pad))
 
 
 @functools.partial(
@@ -278,14 +311,15 @@ def _chains_kernel(
     static_argnames=(
         "step_factory", "static_cfg", "n_chains", "c_pad", "n_samples",
         "d", "steps", "use_noise", "interpret", "d_pad", "use_lrs",
-        "algo", "entropy", "grad_est", "operator",
+        "log_every", "algo", "entropy", "grad_est", "operator",
     ),
 )
 def _run_chains_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     step_factory, static_cfg, n_chains, c_pad, n_samples, d, steps,
     use_noise, interpret, d_pad=D_PAD, lrs=None, use_lrs=False,
-    algo=ALGO_ADAM, entropy=ENT_STL, grad_est=GE_REPGRAD, operator=OP_CLIP,
+    log_every=0, algo=ALGO_ADAM, entropy=ENT_STL, grad_est=GE_REPGRAD,
+    operator=OP_CLIP,
 ):
     shape = (c_pad, d_pad)
     out_shape = tuple(
@@ -296,25 +330,60 @@ def _run_chains_chunk(
         operands = operands + (noise,)
     if use_lrs:
         operands = operands + (lrs,)
+    traced = log_every > 0
+    if traced and steps % log_every:
+        raise ValueError(
+            f"traced chunks need steps % log_every == 0, got "
+            f"{steps}/{log_every}"
+        )
     kernel = functools.partial(
         _chains_kernel, step_factory, static_cfg, len(consts), n_chains,
-        c_pad, n_samples, d, steps, use_noise, use_lrs, algo, entropy,
-        grad_est, operator,
+        c_pad, n_samples, d, log_every if traced else steps, use_noise,
+        use_lrs, traced, algo, entropy, grad_est, operator,
     )
-    vec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if not traced:
+        vec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        in_specs = (
+            [smem, smem, smem, smem]
+            + [vec] * len(consts)
+            + [vec] * 8
+            + ([vec] if use_noise else [])
+            + ([vec] if use_lrs else [])
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=in_specs,
+            out_specs=tuple(vec for _ in range(9)),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*operands)
+
+    # Traced: sequential grid of G = steps/log_every rows; every operand
+    # and state output is a full-array block with a constant index map
+    # (state persists across grid steps), only the (G, c_pad) trace
+    # advances — the structure of fused_advi._run_chunk's traced mode.
+    G = steps // log_every
+
+    def whole(x, space=pltpu.VMEM):
+        nd = len(x.shape)
+        return pl.BlockSpec(
+            x.shape, lambda g, _n=nd: (0,) * _n, memory_space=space
+        )
+
     in_specs = (
-        [smem, smem, smem, smem]
-        + [vec] * len(consts)
-        + [vec] * 8
-        + ([vec] if use_noise else [])
-        + ([vec] if use_lrs else [])
+        [whole(x, pltpu.SMEM) for x in operands[:4]]
+        + [whole(x) for x in operands[4:]]
     )
+    trace_struct = jax.ShapeDtypeStruct((G, c_pad), jnp.float32)
+    full_out = out_shape + (trace_struct,)
+    out_specs = tuple(whole(s) for s in full_out)
     return pl.pallas_call(
         kernel,
+        grid=(G,),
         in_specs=in_specs,
-        out_specs=tuple(vec for _ in range(9)),
-        out_shape=out_shape,
+        out_specs=out_specs,
+        out_shape=full_out,
         interpret=interpret,
     )(*operands)
 
@@ -494,6 +563,28 @@ class FusedChainsADVI:
         chain ``r % c_pad``.  RNG stream step-indexed as
         FusedADVI.run_chunk (bitwise chunk-associative).
         """
+        state, _ = self._run(state, key, steps, noise, 0)
+        return state
+
+    def run_chunk_traced(
+        self,
+        state: FusedChainsState,
+        key: jax.Array,
+        steps: int,
+        log_every: int,
+        noise: Optional[jax.Array] = None,
+    ):
+        """Like ``run_chunk`` but also returns the PER-CHAIN thinned ELBO
+        trace: a ``(steps // log_every, n_chains)`` array holding every
+        chain's ELBO estimate at each ``log_every``-th step, recorded
+        in-kernel.  A diverged chain is visible at log_every granularity
+        (VERDICT r4 #6) — feed the trace to ``first_chain_divergence``.
+        """
+        if log_every < 1:
+            raise ValueError(f"log_every must be >= 1, got {log_every}")
+        return self._run(state, key, steps, noise, log_every)
+
+    def _run(self, state, key, steps, noise, log_every):
         R = self.n_samples * self.c_pad
         use_noise = noise is not None
         if use_noise:
@@ -522,16 +613,21 @@ class FusedChainsADVI:
             d_pad=self.d_pad,
             lrs=(self.lrs if self.lrs is not None
                  else jnp.zeros((1, 1), jnp.float32)),
-            use_lrs=self.lrs is not None,
+            use_lrs=self.lrs is not None, log_every=log_every,
             algo=self.algo, entropy=self.entropy,
             grad_est=self.grad_est, operator=self.operator,
         )
-        return FusedChainsState(
+        new_state = FusedChainsState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
             m_sig=out[4], v_sig=out[5], avg_mu=out[6], avg_sig=out[7],
             iteration=state.iteration + steps,
             elbo=out[8][:, 0],
         )
+        trace = (
+            out[9][: steps // log_every, : self.n_chains]
+            if log_every else None
+        )
+        return new_state, trace
 
     def run_sharded(
         self,
@@ -540,7 +636,8 @@ class FusedChainsADVI:
         steps: int,
         mesh,
         axis: str = "mc",
-    ) -> FusedChainsState:
+        log_every: int = 0,
+    ):
         """``run_chunk`` with the chain axis sharded over ``mesh[axis]``:
         each device runs ONE whole-loop kernel on its contiguous block of
         chains (chains are embarrassingly parallel — zero collectives).
@@ -550,6 +647,11 @@ class FusedChainsADVI:
         Device i advances chains [i*C_loc, (i+1)*C_loc) under key
         fold_in(key, i) — the result is independent of the device count
         in distribution (each chain gets its own stream) but not bitwise.
+
+        ``log_every > 0`` returns ``(state, trace)`` with the per-chain
+        ELBO trace gathered to global chain order — the sharded
+        divergence channel (feed to ``first_chain_divergence``); 0
+        returns just the state.
         """
         from jax.sharding import PartitionSpec as P
 
@@ -579,17 +681,30 @@ class FusedChainsADVI:
             alpha=self.alpha,
         )
 
-        def shard_fn(st: FusedChainsState) -> FusedChainsState:
-            dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-            return local.run_chunk(st, dev_key, steps)
-
         spec_leaf = P(axis)
         specs = FusedChainsState(
             mu=spec_leaf, sig=spec_leaf, m_mu=spec_leaf, v_mu=spec_leaf,
             m_sig=spec_leaf, v_sig=spec_leaf, avg_mu=spec_leaf,
             avg_sig=spec_leaf, iteration=P(), elbo=spec_leaf,
         )
-        # check_vma=False: pallas_call out_shapes carry no vma annotation
+        if log_every:
+
+            def shard_fn_traced(st: FusedChainsState):
+                dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+                return local.run_chunk_traced(st, dev_key, steps, log_every)
+
+            # trace: (G, c_loc) per device -> (G, n_chains) global (the
+            # chain axis concatenates in device order)
+            # check_vma=False: pallas_call outputs carry no vma annotation
+            return jax.shard_map(
+                shard_fn_traced, mesh=mesh, in_specs=(specs,),
+                out_specs=(specs, P(None, axis)), check_vma=False,
+            )(state)
+
+        def shard_fn(st: FusedChainsState) -> FusedChainsState:
+            dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            return local.run_chunk(st, dev_key, steps)
+
         return jax.shard_map(
             shard_fn, mesh=mesh, in_specs=(specs,), out_specs=specs,
             check_vma=False,
@@ -604,3 +719,26 @@ class FusedChainsADVI:
         mu = state.avg_mu if averaged else state.mu
         sig = state.avg_sig if averaged else state.sig
         return MeanFieldGaussian(mu[:C, :d], sig[:C, :d])
+
+
+def first_chain_divergence(trace, log_every: int):
+    """First non-finite entry of a per-chain ELBO trace, as
+    ``(chain, iteration)`` — or None if every entry is finite.
+
+    ``trace``: the ``(G, n_chains)`` array from ``run_chunk_traced`` /
+    ``run_sharded(log_every=...)``; ``iteration`` is chunk-relative (row g
+    records the ELBO after ``(g + 1) * log_every`` steps).  The general
+    driver's analogue is the exact-step divergence raise
+    (optimize.py; reference common.jl:83-89); here exactness would cost a
+    per-step host channel, so granularity is log_every — enough to spot
+    the BENCH_NOTES scoregrad-outlier scenario (one chain stuck at -1.2e5)
+    without a full run.
+    """
+    import numpy as np
+
+    tr = np.asarray(trace)
+    bad = ~np.isfinite(tr)
+    if not bad.any():
+        return None
+    g, c = np.argwhere(bad)[0]      # earliest grid row, lowest chain
+    return int(c), int((g + 1) * log_every)
