@@ -119,6 +119,11 @@ ENT_STL_ZERO = "stl_zero_grad"
 ALGO_ADAM = "adam"
 ALGO_DESCENT = "descent"
 ALGO_DOWG = "dowg"
+ALGO_DOG = "dog"        # distance-over-gradients (rides the DoWG slots)
+ALGO_COCOB = "cocob"    # per-coordinate coin betting (needs ext slots)
+# step-size-driven rules whose eta the proximal operator can extract
+# (optim/rules.py stepsize_from_opt_state; COCOB has no scalar step size)
+ETA_ALGOS = (ALGO_DESCENT, ALGO_DOWG, ALGO_DOG)
 OP_CLIP = "clip"            # ClipScale on the scale diagonal
 OP_PROX = "prox"            # closed-form entropy proximal step (needs eta)
 OP_NONE = "none"            # IdentityOperator
@@ -196,14 +201,19 @@ class FusedADVIState(NamedTuple):
 
     mu: jax.Array        # (1, D_PAD) location
     sig: jax.Array       # scale parameter (see above)
-    m_mu: jax.Array      # Adam first moments
-    v_mu: jax.Array      # Adam second moments
+    m_mu: jax.Array      # Adam first moments (DoWG/DoG/COCOB: frozen x0)
+    v_mu: jax.Array      # Adam second moments (DoWG/DoG: [v, r] lanes;
+    #                      COCOB: per-coordinate L)
     m_sig: jax.Array
     v_sig: jax.Array
     avg_mu: jax.Array    # polynomial-averaged parameters
     avg_sig: jax.Array
     iteration: jax.Array  # () int32
     elbo: jax.Array      # () f32, last step's estimate
+    # COCOB's remaining per-coordinate accumulators (G, reward, theta) x
+    # (mu, sig) — None for every other rule, so the pytree structure (and
+    # therefore every existing consumer) is unchanged outside COCOB runs.
+    ext: Optional[Tuple[jax.Array, ...]] = None
 
 
 def _backsub_ct(C, u, d, lane):
@@ -281,12 +291,14 @@ def _backsub_ct_blocked(C, u, block=D_PAD):
 def _kernel(
     # static
     family, step_factory, static_cfg, n_consts, n_samples, d, steps,
-    use_noise, traced, algo, entropy, grad_est, operator,
+    use_noise, use_ext, traced, algo, entropy, grad_est, operator,
     # refs
     *refs,
 ):
     # ref layout: inputs [seed, it0, hyp, mscal, *consts, *state(8),
-    # noise?] then the 9 (+1 if tracing) output refs.
+    # *ext(6 if use_ext), noise?] then the 9 (+6 if use_ext, +1 if
+    # tracing) output refs.  use_ext carries COCOB's extra per-coordinate
+    # accumulators (G, reward, theta) x (mu, sig).
     #
     # Traced mode runs a SEQUENTIAL GRID of trace rows: each grid step
     # executes ``steps`` (= log_every) iterations and writes its row of
@@ -298,13 +310,16 @@ def _kernel(
     seed_ref, it0_ref, hyp_ref, mscal_ref = refs[:4]
     const_refs = refs[4 : 4 + n_consts]
     state_in = refs[4 + n_consts : 12 + n_consts]
-    noise_ref = refs[12 + n_consts] if use_noise else None
-    if traced:
-        (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
-         elbo_o, trace_o) = refs[-10:]
-    else:
-        (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
-         elbo_o) = refs[-9:]
+    k = 12 + n_consts
+    ext_in = refs[k : k + 6] if use_ext else ()
+    k += 6 if use_ext else 0
+    noise_ref = refs[k] if use_noise else None
+    n_out = 9 + (6 if use_ext else 0) + (1 if traced else 0)
+    outs_all = refs[-n_out:]
+    (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
+     elbo_o) = outs_all[:9]
+    ext_o = outs_all[9:15] if use_ext else ()
+    trace_o = outs_all[-1] if traced else None
 
     lr = hyp_ref[0]
     b1 = hyp_ref[1]
@@ -319,13 +334,15 @@ def _kernel(
 
         @pl.when(gidx == 0)
         def _seed_state():
-            for src, dst in zip(state_in, outs):
+            for src, dst in zip(state_in + tuple(ext_in), outs + tuple(ext_o)):
                 dst[:] = src[:]
 
         state_refs = outs
+        ext_refs = ext_o
         block_off = gidx * steps
     else:
         state_refs = state_in
+        ext_refs = ext_in
         block_off = 0
 
     it0 = it0_ref[0] + block_off
@@ -359,7 +376,8 @@ def _kernel(
     ).astype(jnp.float32)
 
     def body(i, carry):
-        mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, _ = carry
+        mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig = carry[:8]
+        ext = carry[8:-1]     # COCOB accumulators (empty otherwise)
         it_f = (it0 + i).astype(jnp.float32)
 
         if use_noise:
@@ -470,14 +488,42 @@ def _kernel(
 
             m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
             m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
+        elif algo == ALGO_COCOB:
+            # COCOB-Backprop, per-coordinate coin betting (optim/rules.py
+            # cocob; reference rules.jl:78-96): x1 rides m_*, L rides v_*,
+            # (G, reward, theta) ride the ext slots.  Fully elementwise;
+            # padded entries see g = 0 forever, so denom stays 0 and they
+            # hold x = x1 (the padded init values) — inert by the same
+            # argument as the general path's inert upper triangle.
+            ca = hyp_ref[6]
+            g_mu, r_mu, t_mu, g_sig, r_sig, t_sig = ext
+
+            def cocob(x, x1, L, Gs, Rw, th, g):
+                L2 = jnp.maximum(L, jnp.abs(g))
+                G2 = Gs + jnp.abs(g)
+                R2 = jnp.maximum(Rw + (x - x1) * (-g), 0.0)
+                t2 = th - g
+                den = L2 * jnp.maximum(G2 + L2, ca * L2)
+                bet = jnp.where(
+                    den > 0, t2 / jnp.where(den > 0, den, 1.0), 0.0
+                )
+                return x1 + bet * (L2 + R2), L2, G2, R2, t2
+
+            mu, v_mu, g_mu, r_mu, t_mu = cocob(
+                mu, m_mu, v_mu, g_mu, r_mu, t_mu, dmu
+            )
+            sig, v_sig, g_sig, r_sig, t_sig = cocob(
+                sig, m_sig, v_sig, g_sig, r_sig, t_sig, dsig
+            )
+            ext = (g_mu, r_mu, t_mu, g_sig, r_sig, t_sig)
         else:
-            # Descent / DoWG + closed-form proximal entropy step
-            # (optim/rules.py dowg, optim/operators.py
-            # ProximalLocationScaleEntropy; reference rules.jl:17-34,
+            # Descent / DoWG / DoG + closed-form proximal entropy step
+            # (optim/rules.py dowg+dog, optim/operators.py
+            # ProximalLocationScaleEntropy; reference rules.jl:17-64,
             # proximal_location_scale_entropy.jl:20-61).
-            if algo == ALGO_DOWG:
-                # DoWG state rides the Adam slots: m_* = x0 (fixed),
-                # v_mu lane 0 = v, lane 1 = r.  Padded entries of
+            if algo in (ALGO_DOWG, ALGO_DOG):
+                # parameter-free state rides the Adam slots: m_* = x0
+                # (fixed), v_mu lane 0 = v, lane 1 = r.  Padded entries of
                 # (mu - x0) / (sig - x0) are exactly 0 by construction.
                 l0 = (lane == 0).astype(jnp.float32)
                 l1 = (lane == 1).astype(jnp.float32)
@@ -489,10 +535,14 @@ def _kernel(
                 )
                 r = jnp.maximum(dist, r_prev)
                 gsq = jnp.sum(dmu * dmu) + jnp.sum(dsig * dsig)
-                v = v_prev + r * r * gsq
                 # guard matches fused_chains (ADVICE r4): an exactly-zero
                 # first gradient gives v = 0; without the floor eta = inf.
-                eta = r * r / jnp.sqrt(jnp.maximum(v, 1e-30))
+                if algo == ALGO_DOWG:
+                    v = v_prev + r * r * gsq
+                    eta = r * r / jnp.sqrt(jnp.maximum(v, 1e-30))
+                else:  # DoG: v += ||g||^2, eta = r / sqrt(v)
+                    v = v_prev + gsq
+                    eta = r / jnp.sqrt(jnp.maximum(v, 1e-30))
                 v_mu = l0 * v + l1 * r
             else:
                 eta = lr
@@ -510,7 +560,7 @@ def _kernel(
             # prox: sigma' = sigma/2 + sqrt(sigma^2 + 4 gamma)/2 on the
             # (real) scale diagonal; gamma = the step size just used ==
             # stepsize_from_opt_state of the post-update state (only valid
-            # with descent/dowg, where eta is defined - engine-enforced).
+            # with descent/dowg/dog, where eta is defined - engine-enforced).
             if family == MEANFIELD:
                 proxed = 0.5 * sig + 0.5 * jnp.sqrt(sig * sig + 4.0 * eta)
                 sig = sig + maskd * (proxed - sig)
@@ -526,12 +576,20 @@ def _kernel(
         a_mu = (1.0 - w) * a_mu + w * mu
         a_sig = (1.0 - w) * a_sig + w * sig
 
-        return (mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo)
+        return (mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig) + ext + (
+            elbo,
+        )
 
-    init = tuple(r[:] for r in state_refs) + (jnp.float32(0.0),)
-    mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo = jax.lax.fori_loop(
-        0, steps, body, init
+    init = (
+        tuple(r[:] for r in state_refs)
+        + tuple(r[:] for r in ext_refs)
+        + (jnp.float32(0.0),)
     )
+    res = jax.lax.fori_loop(0, steps, body, init)
+    mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig = res[:8]
+    elbo = res[-1]
+    for dst, val in zip(ext_o, res[8:-1]):
+        dst[:] = val
     mu_o[:] = mu
     sig_o[:] = sig
     mmu_o[:] = m_mu
@@ -556,7 +614,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "family", "step_factory", "static_cfg", "n_samples", "d", "steps",
-        "use_noise", "interpret", "log_every", "algo", "entropy",
+        "use_noise", "use_ext", "interpret", "log_every", "algo", "entropy",
         "d_pad", "grad_est", "operator",
     ),
 )
@@ -564,7 +622,7 @@ def _run_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     family, step_factory, static_cfg, n_samples, d, steps, use_noise,
     interpret, log_every=0, algo=ALGO_ADAM, entropy=ENT_STL, d_pad=D_PAD,
-    grad_est=GE_REPGRAD, operator=OP_CLIP,
+    grad_est=GE_REPGRAD, operator=OP_CLIP, ext=(), use_ext=False,
 ):
     scale_shape = (
         (1, d_pad) if family == MEANFIELD else (d_pad, d_pad)
@@ -575,7 +633,15 @@ def _run_chunk(
     out_shape = tuple(
         jax.ShapeDtypeStruct(s, jnp.float32) for s in shapes
     ) + (jax.ShapeDtypeStruct((1, d_pad), jnp.float32),)
+    if use_ext:
+        # COCOB ext accumulators: (G, reward, theta) for mu then sig
+        ext_shapes = [(1, d_pad)] * 3 + [scale_shape] * 3
+        out_shape = out_shape + tuple(
+            jax.ShapeDtypeStruct(s, jnp.float32) for s in ext_shapes
+        )
     operands = (seed, it0, hyp, mscal) + tuple(consts) + tuple(state_arrays)
+    if use_ext:
+        operands = operands + tuple(ext)
     if use_noise:
         operands = operands + (noise,)
     traced = log_every > 0
@@ -586,8 +652,8 @@ def _run_chunk(
         )
     kernel = functools.partial(
         _kernel, family, step_factory, static_cfg, len(consts), n_samples,
-        d, log_every if traced else steps, use_noise, traced, algo, entropy,
-        grad_est, operator,
+        d, log_every if traced else steps, use_noise, use_ext, traced, algo,
+        entropy, grad_est, operator,
     )
     if not traced:
         vec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -596,12 +662,13 @@ def _run_chunk(
             [smem, smem, smem, smem]
             + [vec] * len(consts)
             + [vec] * 8
+            + ([vec] * 6 if use_ext else [])
             + ([vec] if use_noise else [])
         )
         return pl.pallas_call(
             kernel,
             in_specs=in_specs,
-            out_specs=tuple(vec for _ in range(9)),
+            out_specs=tuple(vec for _ in out_shape),
             out_shape=out_shape,
             interpret=interpret,
         )(*operands)
@@ -1154,6 +1221,7 @@ class FusedADVI:
         # default DoWG/DoG r0 scale so init() is self-contained even when a
         # caller sets eng.algo directly (ADVICE r4); subclasses overwrite.
         self.alpha = 1e-6
+        self.cocob_alpha = 100.0  # COCOB bet-fraction floor (rules.py)
 
     def _scale_zeros(self):
         if self.family == MEANFIELD:
@@ -1181,10 +1249,22 @@ class FusedADVI:
             sig = _pad_tril(scale, self.d_pad)
         zeros = jnp.zeros((1, self.d_pad), jnp.float32)
         zeros_s = self._scale_zeros()
-        if self.algo == ALGO_DOWG:
-            # DoWG state rides the Adam slots: m_* = x0 copies, v_mu =
+        if self.algo == ALGO_COCOB:
+            # COCOB state: x1 = m_* copies, L = v_* (zeros), and the
+            # (G, reward, theta) accumulators in the ext slots (all zero
+            # at init — optim/rules.py cocob init).
+            return FusedADVIState(
+                mu=mu, sig=sig,
+                m_mu=mu, v_mu=zeros, m_sig=sig, v_sig=zeros_s,
+                avg_mu=mu, avg_sig=sig,
+                iteration=jnp.asarray(0, jnp.int32),
+                elbo=jnp.float32(0.0),
+                ext=(zeros, zeros, zeros, zeros_s, zeros_s, zeros_s),
+            )
+        if self.algo in (ALGO_DOWG, ALGO_DOG):
+            # DoWG/DoG state rides the Adam slots: m_* = x0 copies, v_mu =
             # [v, r, 0, ...].  r0 = alpha * (1 + ||x0||) over the REAL
-            # parameter entries (optim/rules.py dowg init; padding is
+            # parameter entries (optim/rules.py dowg/dog init; padding is
             # excluded because the general path never sees it).
             norm0 = jnp.sqrt(
                 jnp.sum(jnp.square(location.astype(jnp.float32)))
@@ -1275,8 +1355,15 @@ class FusedADVI:
             state.mu, state.sig, state.m_mu, state.v_mu,
             state.m_sig, state.v_sig, state.avg_mu, state.avg_sig,
         )
+        use_ext = state.ext is not None
+        if self.algo == ALGO_COCOB and not use_ext:
+            raise ValueError(
+                "COCOB needs a state created with algo='cocob' "
+                "(its ext accumulators are missing)"
+            )
+        hyp = jnp.append(self.hyp, jnp.float32(self.cocob_alpha))
         out = _run_chunk(
-            seed, it0, self.hyp, model.scalars, tuple(model.consts),
+            seed, it0, hyp, model.scalars, tuple(model.consts),
             noise, arrays,
             family=self.family, step_factory=model.step_factory,
             static_cfg=model.static_cfg, n_samples=self.n_samples,
@@ -1284,14 +1371,16 @@ class FusedADVI:
             interpret=self.interpret, log_every=log_every,
             algo=self.algo, entropy=self.entropy, d_pad=self.d_pad,
             grad_est=self.grad_est, operator=self.operator,
+            ext=(state.ext if use_ext else ()), use_ext=use_ext,
         )
         new_state = FusedADVIState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
             m_sig=out[4], v_sig=out[5], avg_mu=out[6], avg_sig=out[7],
             iteration=state.iteration + steps,
             elbo=out[8][0, 0],
+            ext=tuple(out[9:15]) if use_ext else None,
         )
-        trace = out[9][: steps // log_every, 0] if log_every else None
+        trace = out[-1][: steps // log_every, 0] if log_every else None
         return new_state, trace
 
     # -- driver with the library contract -----------------------------------
@@ -1435,7 +1524,7 @@ class FusedADVI:
 
 class FusedProxADVI(FusedADVI):
     """Whole-loop fused proximal ADVI: {mean-field, full-rank} x
-    {Descent, DoWG} with the closed-form entropy proximal step.
+    {Descent, DoWG, DoG} with the closed-form entropy proximal step.
 
     Reproduces ``KLMinRepGradProxDescent(entropy_zerograd=entropy,
     optimizer=descent(lr) | dowg(alpha))`` + ``PolynomialAveraging``
@@ -1464,11 +1553,11 @@ class FusedProxADVI(FusedADVI):
         avg_eta: float = 8.0,
         interpret: bool = False,
     ):
-        if optimizer not in (ALGO_DESCENT, ALGO_DOWG):
+        if optimizer not in ETA_ALGOS:
             raise ValueError(
-                f"optimizer must be '{ALGO_DESCENT}' or '{ALGO_DOWG}', "
-                f"got {optimizer!r} (proximal steps need an extractable "
-                "step size)"
+                f"optimizer must be one of {ETA_ALGOS}, got {optimizer!r} "
+                "(proximal steps need an extractable step size — "
+                "optim/rules.py stepsize_from_opt_state)"
             )
         if entropy not in (ENT_CF_ZERO, ENT_STL_ZERO):
             raise ValueError(
@@ -1488,7 +1577,7 @@ class FusedProxADVI(FusedADVI):
 class FusedScoreGradVI(FusedADVI):
     """Whole-loop fused BBVI: the VarGrad score-function gradient
     (``KLMinScoreGradDescent`` semantics, objectives/scoregradelbo.py) with
-    {Adam, DoWG, descent} x {IdentityOperator, ClipScale}.
+    {Adam, DoWG, DoG, COCOB, descent} x {IdentityOperator, ClipScale}.
 
     Mean-field only: the in-kernel score closed form uses
     dlogq/dmu = u/sigma and dlogq/dsigma = (u^2 - 1)/sigma.  The model's
@@ -1512,10 +1601,13 @@ class FusedScoreGradVI(FusedADVI):
         clip_eps: float = 1e-5,
         interpret: bool = False,
     ):
-        if optimizer not in (ALGO_ADAM, ALGO_DESCENT, ALGO_DOWG):
+        if optimizer not in (
+            ALGO_ADAM, ALGO_DESCENT, ALGO_DOWG, ALGO_DOG, ALGO_COCOB,
+        ):
             raise ValueError(
                 f"optimizer must be one of ('{ALGO_ADAM}', '{ALGO_DESCENT}'"
-                f", '{ALGO_DOWG}'), got {optimizer!r}"
+                f", '{ALGO_DOWG}', '{ALGO_DOG}', '{ALGO_COCOB}'), got "
+                f"{optimizer!r}"
             )
         if operator not in (OP_NONE, OP_CLIP):
             raise ValueError(

@@ -44,8 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_advi import (
     ALGO_ADAM,
+    ALGO_COCOB,
     ALGO_DESCENT,
+    ALGO_DOG,
     ALGO_DOWG,
+    ETA_ALGOS,
     D_PAD,
     D_PAD_MAX,
     ENT_CF_ZERO,
@@ -85,12 +88,15 @@ class FusedChainsState(NamedTuple):
     avg_sig: jax.Array
     iteration: jax.Array   # () int32, shared across chains
     elbo: jax.Array        # (C_PAD,) f32, per-chain last-step estimate
+    # COCOB's extra per-coordinate accumulators (as FusedADVIState.ext)
+    ext: Optional[tuple] = None
 
 
 def _chains_kernel(
     # static
     step_factory, static_cfg, n_consts, n_chains, c_pad, n_samples, d,
-    steps, use_noise, use_lrs, traced, algo, entropy, grad_est, operator,
+    steps, use_noise, use_lrs, use_ext, traced, algo, entropy, grad_est,
+    operator,
     # refs
     *refs,
 ):
@@ -110,15 +116,17 @@ def _chains_kernel(
     const_refs = refs[4 : 4 + n_consts]
     state_in = refs[4 + n_consts : 12 + n_consts]
     k = 12 + n_consts
+    ext_in = refs[k : k + 6] if use_ext else ()
+    k += 6 if use_ext else 0
     noise_ref = refs[k] if use_noise else None
     k += 1 if use_noise else 0
     lrs_ref = refs[k] if use_lrs else None
-    if traced:
-        (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
-         elbo_o, trace_o) = refs[-10:]
-    else:
-        (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
-         elbo_o) = refs[-9:]
+    n_out = 9 + (6 if use_ext else 0) + (1 if traced else 0)
+    outs_all = refs[-n_out:]
+    (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
+     elbo_o) = outs_all[:9]
+    ext_o = outs_all[9:15] if use_ext else ()
+    trace_o = outs_all[-1] if traced else None
 
     lr = lrs_ref[:] if use_lrs else hyp_ref[0]   # (c_pad, 1) | scalar
     b1 = hyp_ref[1]
@@ -133,13 +141,17 @@ def _chains_kernel(
 
         @pl.when(gidx == 0)
         def _seed_state():
-            for src, dst in zip(state_in, outs):
+            for src, dst in zip(
+                state_in + tuple(ext_in), outs + tuple(ext_o)
+            ):
                 dst[:] = src[:]
 
         state_refs = outs
+        ext_refs = ext_o
         block_off = gidx * steps
     else:
         state_refs = state_in
+        ext_refs = ext_in
         block_off = 0
 
     it0 = it0_ref[0] + block_off
@@ -173,7 +185,8 @@ def _chains_kernel(
         return jnp.concatenate([x] * n_samples, axis=0)
 
     def body(i, carry):
-        mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, _ = carry
+        mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig = carry[:8]
+        ext = carry[8:-1]     # COCOB accumulators (empty otherwise)
         it_f = (it0 + i).astype(jnp.float32)
 
         if use_noise:
@@ -242,12 +255,38 @@ def _chains_kernel(
 
             m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
             m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
+        elif algo == ALGO_COCOB:
+            # per-coordinate coin betting — COCOB is fully elementwise, so
+            # the multi-chain form is literally the single-chain form on
+            # (c_pad, D_PAD) blocks (see fused_advi._kernel for the slot
+            # layout and padding-inertness argument).
+            ca = hyp_ref[6]
+            g_mu, r_mu, t_mu, g_sig, r_sig, t_sig = ext
+
+            def cocob(x, x1, L, Gs, Rw, th, g):
+                L2 = jnp.maximum(L, jnp.abs(g))
+                G2 = Gs + jnp.abs(g)
+                R2 = jnp.maximum(Rw + (x - x1) * (-g), 0.0)
+                t2 = th - g
+                den = L2 * jnp.maximum(G2 + L2, ca * L2)
+                bet = jnp.where(
+                    den > 0, t2 / jnp.where(den > 0, den, 1.0), 0.0
+                )
+                return x1 + bet * (L2 + R2), L2, G2, R2, t2
+
+            mu, v_mu, g_mu, r_mu, t_mu = cocob(
+                mu, m_mu, v_mu, g_mu, r_mu, t_mu, dmu
+            )
+            sig, v_sig, g_sig, r_sig, t_sig = cocob(
+                sig, m_sig, v_sig, g_sig, r_sig, t_sig, dsig
+            )
+            ext = (g_mu, r_mu, t_mu, g_sig, r_sig, t_sig)
         else:
-            # per-chain Descent / DoWG (optim/rules.py, global norms
+            # per-chain Descent / DoWG / DoG (optim/rules.py, global norms
             # computed WITHIN each chain)
-            if algo == ALGO_DOWG:
-                # per-chain DoWG state in the Adam slots: m_* = x0,
-                # v_mu[:, 0] = v_c, v_mu[:, 1] = r_c.
+            if algo in (ALGO_DOWG, ALGO_DOG):
+                # per-chain parameter-free state in the Adam slots:
+                # m_* = x0, v_mu[:, 0] = v_c, v_mu[:, 1] = r_c.
                 l0 = (lane == 0).astype(jnp.float32)
                 l1 = (lane == 1).astype(jnp.float32)
                 v_prev = jnp.sum(v_mu * l0, axis=1, keepdims=True)
@@ -261,9 +300,13 @@ def _chains_kernel(
                     jnp.sum(dmu * dmu, axis=1, keepdims=True)
                     + jnp.sum(dsig * dsig, axis=1, keepdims=True)
                 )
-                v = v_prev + r * r * gsq
                 # padded chains: v stays 0 -> guard the division
-                eta = r * r / jnp.sqrt(jnp.maximum(v, 1e-30))
+                if algo == ALGO_DOWG:
+                    v = v_prev + r * r * gsq
+                    eta = r * r / jnp.sqrt(jnp.maximum(v, 1e-30))
+                else:  # DoG: v += ||g||^2, eta = r / sqrt(v)
+                    v = v_prev + gsq
+                    eta = r / jnp.sqrt(jnp.maximum(v, 1e-30))
                 v_mu = l0 * v + l1 * r
             else:
                 eta = lr
@@ -281,14 +324,20 @@ def _chains_kernel(
         a_mu = (1.0 - w) * a_mu + w * mu
         a_sig = (1.0 - w) * a_sig + w * sig
 
-        return (mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo_c)
+        return (mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig) + ext + (
+            elbo_c,
+        )
 
-    init = tuple(r[:] for r in state_refs) + (
-        jnp.zeros((c_pad, 1), jnp.float32),
+    init = (
+        tuple(r[:] for r in state_refs)
+        + tuple(r[:] for r in ext_refs)
+        + (jnp.zeros((c_pad, 1), jnp.float32),)
     )
-    mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig, elbo_c = (
-        jax.lax.fori_loop(0, steps, body, init)
-    )
+    res = jax.lax.fori_loop(0, steps, body, init)
+    mu, sig, m_mu, v_mu, m_sig, v_sig, a_mu, a_sig = res[:8]
+    elbo_c = res[-1]
+    for dst, val in zip(ext_o, res[8:-1]):
+        dst[:] = val
     mu_o[:] = mu
     sig_o[:] = sig
     mmu_o[:] = m_mu
@@ -310,8 +359,8 @@ def _chains_kernel(
     jax.jit,
     static_argnames=(
         "step_factory", "static_cfg", "n_chains", "c_pad", "n_samples",
-        "d", "steps", "use_noise", "interpret", "d_pad", "use_lrs",
-        "log_every", "algo", "entropy", "grad_est", "operator",
+        "d", "steps", "use_noise", "use_ext", "interpret", "d_pad",
+        "use_lrs", "log_every", "algo", "entropy", "grad_est", "operator",
     ),
 )
 def _run_chains_chunk(
@@ -319,13 +368,16 @@ def _run_chains_chunk(
     step_factory, static_cfg, n_chains, c_pad, n_samples, d, steps,
     use_noise, interpret, d_pad=D_PAD, lrs=None, use_lrs=False,
     log_every=0, algo=ALGO_ADAM, entropy=ENT_STL, grad_est=GE_REPGRAD,
-    operator=OP_CLIP,
+    operator=OP_CLIP, ext=(), use_ext=False,
 ):
     shape = (c_pad, d_pad)
     out_shape = tuple(
-        jax.ShapeDtypeStruct(shape, jnp.float32) for _ in range(9)
+        jax.ShapeDtypeStruct(shape, jnp.float32)
+        for _ in range(9 + (6 if use_ext else 0))
     )
     operands = (seed, it0, hyp, mscal) + tuple(consts) + tuple(state_arrays)
+    if use_ext:
+        operands = operands + tuple(ext)
     if use_noise:
         operands = operands + (noise,)
     if use_lrs:
@@ -339,7 +391,7 @@ def _run_chains_chunk(
     kernel = functools.partial(
         _chains_kernel, step_factory, static_cfg, len(consts), n_chains,
         c_pad, n_samples, d, log_every if traced else steps, use_noise,
-        use_lrs, traced, algo, entropy, grad_est, operator,
+        use_lrs, use_ext, traced, algo, entropy, grad_est, operator,
     )
     if not traced:
         vec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -348,13 +400,14 @@ def _run_chains_chunk(
             [smem, smem, smem, smem]
             + [vec] * len(consts)
             + [vec] * 8
+            + ([vec] * 6 if use_ext else [])
             + ([vec] if use_noise else [])
             + ([vec] if use_lrs else [])
         )
         return pl.pallas_call(
             kernel,
             in_specs=in_specs,
-            out_specs=tuple(vec for _ in range(9)),
+            out_specs=tuple(vec for _ in out_shape),
             out_shape=out_shape,
             interpret=interpret,
         )(*operands)
@@ -416,7 +469,9 @@ class FusedChainsADVI:
         operator: str = OP_CLIP,
         alpha: float = 1e-6,
     ):
-        if optimizer not in (ALGO_ADAM, ALGO_DESCENT, ALGO_DOWG):
+        if optimizer not in (
+            ALGO_ADAM, ALGO_DESCENT, ALGO_DOWG, ALGO_DOG, ALGO_COCOB,
+        ):
             raise ValueError(f"unknown optimizer {optimizer!r}")
         if entropy not in (ENT_STL, ENT_CF_ZERO, ENT_STL_ZERO):
             raise ValueError(f"unknown entropy {entropy!r}")
@@ -425,10 +480,10 @@ class FusedChainsADVI:
         if operator not in (OP_CLIP, OP_PROX, OP_NONE):
             raise ValueError(f"unknown operator {operator!r}")
         if operator == OP_PROX:
-            if optimizer == ALGO_ADAM:
+            if optimizer not in ETA_ALGOS:
                 raise ValueError(
                     "operator='prox' needs an extractable step size: use "
-                    "optimizer='descent' or 'dowg'"
+                    f"one of {ETA_ALGOS}"
                 )
             if grad_est == GE_SCOREGRAD or entropy == ENT_STL:
                 raise ValueError(
@@ -502,6 +557,7 @@ class FusedChainsADVI:
         self.grad_est = grad_est
         self.operator = operator
         self.alpha = alpha
+        self.cocob_alpha = 100.0  # COCOB bet-fraction floor (rules.py)
 
     def init(
         self, locations: jax.Array, scale_diags: jax.Array
@@ -524,8 +580,19 @@ class FusedChainsADVI:
             scale_diags.astype(jnp.float32)
         )
         zeros = jnp.zeros((cp, self.d_pad), jnp.float32)
-        if self.algo == ALGO_DOWG:
-            # per-chain DoWG state in the Adam slots: m_* = x0 copies,
+        if self.algo == ALGO_COCOB:
+            # per-chain COCOB state: x1 = m_* copies, L = v_* (zeros),
+            # (G, reward, theta) x (mu, sig) in the ext slots.
+            return FusedChainsState(
+                mu=mu, sig=sig,
+                m_mu=mu, v_mu=zeros, m_sig=sig, v_sig=zeros,
+                avg_mu=mu, avg_sig=sig,
+                iteration=jnp.asarray(0, jnp.int32),
+                elbo=jnp.zeros((cp,), jnp.float32),
+                ext=(zeros, zeros, zeros, zeros, zeros, zeros),
+            )
+        if self.algo in (ALGO_DOWG, ALGO_DOG):
+            # per-chain DoWG/DoG state in the Adam slots: m_* = x0 copies,
             # v_mu[:, 0] = v_c (0), v_mu[:, 1] = r_c = alpha(1 + ||x0_c||)
             # over that chain's REAL parameter entries (optim/rules.py).
             norm0 = jnp.sqrt(
@@ -602,8 +669,15 @@ class FusedChainsADVI:
             state.mu, state.sig, state.m_mu, state.v_mu,
             state.m_sig, state.v_sig, state.avg_mu, state.avg_sig,
         )
+        use_ext = state.ext is not None
+        if self.algo == ALGO_COCOB and not use_ext:
+            raise ValueError(
+                "COCOB needs a state created with optimizer='cocob' "
+                "(its ext accumulators are missing)"
+            )
+        hyp = jnp.append(self.hyp, jnp.float32(self.cocob_alpha))
         out = _run_chains_chunk(
-            seed, it0, self.hyp, self.model.scalars,
+            seed, it0, hyp, self.model.scalars,
             tuple(self.model.consts), noise, arrays,
             step_factory=self.model.step_factory,
             static_cfg=self.model.static_cfg,
@@ -616,15 +690,17 @@ class FusedChainsADVI:
             use_lrs=self.lrs is not None, log_every=log_every,
             algo=self.algo, entropy=self.entropy,
             grad_est=self.grad_est, operator=self.operator,
+            ext=(state.ext if use_ext else ()), use_ext=use_ext,
         )
         new_state = FusedChainsState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],
             m_sig=out[4], v_sig=out[5], avg_mu=out[6], avg_sig=out[7],
             iteration=state.iteration + steps,
             elbo=out[8][:, 0],
+            ext=tuple(out[9:15]) if use_ext else None,
         )
         trace = (
-            out[9][: steps // log_every, : self.n_chains]
+            out[-1][: steps // log_every, : self.n_chains]
             if log_every else None
         )
         return new_state, trace
@@ -680,12 +756,17 @@ class FusedChainsADVI:
             grad_est=self.grad_est, operator=self.operator,
             alpha=self.alpha,
         )
+        local.cocob_alpha = self.cocob_alpha
 
         spec_leaf = P(axis)
         specs = FusedChainsState(
             mu=spec_leaf, sig=spec_leaf, m_mu=spec_leaf, v_mu=spec_leaf,
             m_sig=spec_leaf, v_sig=spec_leaf, avg_mu=spec_leaf,
             avg_sig=spec_leaf, iteration=P(), elbo=spec_leaf,
+            ext=(
+                None if state.ext is None
+                else tuple(spec_leaf for _ in state.ext)
+            ),
         )
         if log_every:
 

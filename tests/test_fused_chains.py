@@ -491,3 +491,64 @@ def test_chains_sharded_traced_divergence(flagship):
     )
     for a, b in zip(f_plain[:8], f_shard[:8]):
         assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_chains_dog_and_cocob_match_single_engine(flagship):
+    """In-kernel DoG and COCOB in the chains kernel (VERDICT r4 #9):
+    chain 0 of the multi-chain run == the single-chain engine on chain
+    0's noise rows, for both rules (COCOB threads its ext accumulators
+    through the chain axis)."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import FusedADVI
+
+    prob, _ = flagship
+    d = prob.dim
+    spec = logreg_spec(prob.X, prob.y)
+    rng = np.random.default_rng(9)
+    C8, n_s, steps = 8, 4, 3
+    locs = jnp.asarray(rng.normal(0, 0.2, (C8, d)).astype(np.float32))
+    sds = 0.1 * jnp.ones((C8, d), jnp.float32)
+
+    for rule in ("dog", "cocob"):
+        eng = FusedChainsADVI(
+            spec, n_chains=C8, n_samples=n_s, optimizer=rule,
+            interpret=True,
+        )
+        st = eng.init(locs, sds)
+        if rule == "cocob":
+            assert st.ext is not None and len(st.ext) == 6
+        R = n_s * eng.c_pad
+        noise = jnp.asarray(
+            rng.standard_normal((steps * R, eng.d_pad)).astype(np.float32)
+        )
+        st = eng.run_chunk(st, jax.random.key(3), steps=steps, noise=noise)
+
+        single = FusedADVI(spec, n_samples=n_s, interpret=True)
+        single.algo = rule
+        s0 = single.init(locs[0], sds[0])
+        from advancedvi_jl_tpu.ops.pallas.fused_advi import N_PAD
+
+        rows = []
+        for t in range(steps):
+            blk = noise[t * R : (t + 1) * R]
+            per_chain = blk.reshape(n_s, eng.c_pad, eng.d_pad)[:, 0, :]
+            rows.append(
+                jnp.zeros((N_PAD, eng.d_pad), jnp.float32).at[:n_s].set(
+                    per_chain
+                )
+            )
+        s0 = single.run_chunk(
+            s0, jax.random.key(3), steps=steps, noise=jnp.concatenate(rows)
+        )
+        assert_allclose(
+            np.asarray(st.mu[0]), np.asarray(s0.mu[0]), rtol=1e-5,
+            atol=1e-6, err_msg=rule,
+        )
+        assert_allclose(
+            np.asarray(st.sig[0]), np.asarray(s0.sig[0]), rtol=1e-5,
+            atol=1e-6, err_msg=rule,
+        )
+        if rule == "cocob":
+            assert_allclose(
+                np.asarray(st.ext[2][0]), np.asarray(s0.ext[2][0]),
+                rtol=1e-5, atol=1e-5,
+            )
