@@ -129,6 +129,7 @@ from .ops.pallas.fused_advi import (  # whole-loop fused engines (TPU)
     FusedScoreGradVI,
     ad_spec,
     fused_spec_for,
+    logreg_minibatch_hbm_spec,
     logreg_minibatch_spec,
 )
 from .ops.pallas.fused_chains import FusedChainsADVI

@@ -94,9 +94,9 @@ class FusedChainsState(NamedTuple):
 
 def _chains_kernel(
     # static
-    step_factory, static_cfg, n_consts, n_chains, c_pad, n_samples, d,
-    steps, use_noise, use_lrs, use_ext, traced, algo, entropy, grad_est,
-    operator,
+    step_factory, static_cfg, n_consts, n_scratch, n_chains, c_pad,
+    n_samples, d, steps, use_noise, use_lrs, use_ext, traced, algo,
+    entropy, grad_est, operator,
     # refs
     *refs,
 ):
@@ -121,8 +121,9 @@ def _chains_kernel(
     noise_ref = refs[k] if use_noise else None
     k += 1 if use_noise else 0
     lrs_ref = refs[k] if use_lrs else None
+    scratch_refs = refs[len(refs) - n_scratch :] if n_scratch else ()
     n_out = 9 + (6 if use_ext else 0) + (1 if traced else 0)
-    outs_all = refs[-n_out:]
+    outs_all = refs[len(refs) - n_scratch - n_out : len(refs) - n_scratch]
     (mu_o, sig_o, mmu_o, vmu_o, msig_o, vsig_o, amu_o, asig_o,
      elbo_o) = outs_all[:9]
     ext_o = outs_all[9:15] if use_ext else ()
@@ -167,7 +168,12 @@ def _chains_kernel(
     maskC = (chain_col < n_chains).astype(jnp.float32)   # (c_pad, 1)
     masks = Masks(lane=lane, maskd=maskd, maskn=maskR, d=d,
                   n_samples=n_samples)
-    model_fn = step_factory(static_cfg, masks, const_refs, mscal_ref)
+    if n_scratch:
+        model_fn = step_factory(
+            static_cfg, masks, const_refs, mscal_ref, scratch_refs
+        )
+    else:
+        model_fn = step_factory(static_cfg, masks, const_refs, mscal_ref)
 
     inv_n = 1.0 / n_samples
     ln_b1 = jnp.log(b1)
@@ -361,6 +367,7 @@ def _chains_kernel(
         "step_factory", "static_cfg", "n_chains", "c_pad", "n_samples",
         "d", "steps", "use_noise", "use_ext", "interpret", "d_pad",
         "use_lrs", "log_every", "algo", "entropy", "grad_est", "operator",
+        "const_spaces", "scratch",
     ),
 )
 def _run_chains_chunk(
@@ -368,7 +375,7 @@ def _run_chains_chunk(
     step_factory, static_cfg, n_chains, c_pad, n_samples, d, steps,
     use_noise, interpret, d_pad=D_PAD, lrs=None, use_lrs=False,
     log_every=0, algo=ALGO_ADAM, entropy=ENT_STL, grad_est=GE_REPGRAD,
-    operator=OP_CLIP, ext=(), use_ext=False,
+    operator=OP_CLIP, ext=(), use_ext=False, const_spaces=None, scratch=(),
 ):
     shape = (c_pad, d_pad)
     out_shape = tuple(
@@ -388,17 +395,21 @@ def _run_chains_chunk(
             f"traced chunks need steps % log_every == 0, got "
             f"{steps}/{log_every}"
         )
+    from .fused_advi import _const_specs, _materialize_scratch
+
+    scratch_shapes = _materialize_scratch(scratch)
     kernel = functools.partial(
-        _chains_kernel, step_factory, static_cfg, len(consts), n_chains,
-        c_pad, n_samples, d, log_every if traced else steps, use_noise,
-        use_lrs, use_ext, traced, algo, entropy, grad_est, operator,
+        _chains_kernel, step_factory, static_cfg, len(consts),
+        len(scratch_shapes), n_chains, c_pad, n_samples, d,
+        log_every if traced else steps, use_noise, use_lrs, use_ext,
+        traced, algo, entropy, grad_est, operator,
     )
     if not traced:
         vec = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         in_specs = (
             [smem, smem, smem, smem]
-            + [vec] * len(consts)
+            + _const_specs(consts, const_spaces)
             + [vec] * 8
             + ([vec] * 6 if use_ext else [])
             + ([vec] if use_noise else [])
@@ -409,6 +420,7 @@ def _run_chains_chunk(
             in_specs=in_specs,
             out_specs=tuple(vec for _ in out_shape),
             out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(*operands)
 
@@ -424,9 +436,17 @@ def _run_chains_chunk(
             x.shape, lambda g, _n=nd: (0,) * _n, memory_space=space
         )
 
+    n_c = len(consts)
+    const_whole = [
+        pl.BlockSpec(memory_space=pl.ANY)
+        if const_spaces is not None and const_spaces[i] == "any"
+        else whole(consts[i])
+        for i in range(n_c)
+    ]
     in_specs = (
         [whole(x, pltpu.SMEM) for x in operands[:4]]
-        + [whole(x) for x in operands[4:]]
+        + const_whole
+        + [whole(x) for x in operands[4 + n_c :]]
     )
     trace_struct = jax.ShapeDtypeStruct((G, c_pad), jnp.float32)
     full_out = out_shape + (trace_struct,)
@@ -437,6 +457,7 @@ def _run_chains_chunk(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=full_out,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*operands)
 
@@ -691,6 +712,8 @@ class FusedChainsADVI:
             algo=self.algo, entropy=self.entropy,
             grad_est=self.grad_est, operator=self.operator,
             ext=(state.ext if use_ext else ()), use_ext=use_ext,
+            const_spaces=self.model.const_spaces,
+            scratch=self.model.scratch,
         )
         new_state = FusedChainsState(
             mu=out[0], sig=out[1], m_mu=out[2], v_mu=out[3],

@@ -552,3 +552,32 @@ def test_chains_dog_and_cocob_match_single_engine(flagship):
                 np.asarray(st.ext[2][0]), np.asarray(s0.ext[2][0]),
                 rtol=1e-5, atol=1e-5,
             )
+
+
+def test_chains_run_hbm_streamed_spec(flagship):
+    """Streamed-minibatch chains: the HBM spec drives the multi-chain
+    kernel (shared registry + shared scratch plumbing)."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        logreg_minibatch_hbm_spec,
+    )
+
+    prob, _ = flagship
+    d = prob.dim
+    spec = logreg_minibatch_hbm_spec(
+        prob.X, prob.y, batch_size=16, key=jax.random.key(2)
+    )
+    eng = FusedChainsADVI(spec, n_chains=8, n_samples=4, interpret=True)
+    rng = np.random.default_rng(2)
+    st = eng.init(
+        jnp.asarray(rng.normal(0, 0.2, (8, d)).astype(np.float32)),
+        0.1 * jnp.ones((8, d), jnp.float32),
+    )
+    R = 4 * eng.c_pad
+    noise = jnp.asarray(
+        rng.standard_normal((2 * R, eng.d_pad)).astype(np.float32)
+    )
+    st, trace = eng.run_chunk_traced(
+        st, jax.random.key(3), steps=2, log_every=1, noise=noise
+    )
+    assert trace.shape == (2, 8)
+    assert np.all(np.isfinite(np.asarray(trace)))
