@@ -672,7 +672,9 @@ class FusedChainsADVI:
             raise ValueError(f"log_every must be >= 1, got {log_every}")
         return self._run(state, key, steps, noise, log_every)
 
-    def _run(self, state, key, steps, noise, log_every):
+    def _run(self, state, key, steps, noise, log_every, lrs=None):
+        if lrs is None:
+            lrs = self.lrs
         R = self.n_samples * self.c_pad
         use_noise = noise is not None
         if use_noise:
@@ -706,9 +708,9 @@ class FusedChainsADVI:
             n_samples=self.n_samples, d=self.dim, steps=steps,
             use_noise=use_noise, interpret=self.interpret,
             d_pad=self.d_pad,
-            lrs=(self.lrs if self.lrs is not None
+            lrs=(lrs if lrs is not None
                  else jnp.zeros((1, 1), jnp.float32)),
-            use_lrs=self.lrs is not None, log_every=log_every,
+            use_lrs=lrs is not None, log_every=log_every,
             algo=self.algo, entropy=self.entropy,
             grad_est=self.grad_est, operator=self.operator,
             ext=(state.ext if use_ext else ()), use_ext=use_ext,
@@ -751,16 +753,14 @@ class FusedChainsADVI:
         ELBO trace gathered to global chain order — the sharded
         divergence channel (feed to ``first_chain_divergence``); 0
         returns just the state.
+
+        Per-chain lr sweeps shard too (round 5): the lr column travels as
+        a shard_map operand split over the chain axis, so a 512-lr sweep
+        runs as 512/n_dev lrs per device with zero collectives.
         """
         from jax.sharding import PartitionSpec as P
 
         n_dev = mesh.shape[axis]
-        if self.lrs is not None:
-            raise ValueError(
-                "run_sharded does not yet support per-chain lr sweeps "
-                "(the lr column is engine state, not sharded input); run "
-                "the sweep single-device or build one engine per device"
-            )
         if self.n_chains != self.c_pad or self.n_chains % n_dev:
             raise ValueError(
                 f"run_sharded needs n_chains (= {self.n_chains}) to be a "
@@ -771,8 +771,12 @@ class FusedChainsADVI:
             raise ValueError(
                 f"per-device chain block {c_loc} must be a multiple of 8"
             )
+        # Per-chain lr sweeps: the padded lr COLUMN travels as a sharded
+        # operand (split over the chain axis) and overrides the local
+        # engine's scalar lr inside each device's kernel.
+        lr_scalar = 0.0 if self.lrs is not None else self.lr
         local = FusedChainsADVI(
-            self.model, c_loc, n_samples=self.n_samples, lr=self.lr,
+            self.model, c_loc, n_samples=self.n_samples, lr=lr_scalar,
             b1=self.b1, b2=self.b2, eps=self.eps, avg_eta=self.avg_eta,
             clip_eps=self.clip_eps, interpret=self.interpret,
             optimizer=self.algo, entropy=self.entropy,
@@ -780,6 +784,7 @@ class FusedChainsADVI:
             alpha=self.alpha,
         )
         local.cocob_alpha = self.cocob_alpha
+        lrs_op = self.lrs  # (c_pad, 1) padded column or None
 
         spec_leaf = P(axis)
         specs = FusedChainsState(
@@ -791,28 +796,41 @@ class FusedChainsADVI:
                 else tuple(spec_leaf for _ in state.ext)
             ),
         )
+        lr_spec = P(axis, None) if lrs_op is not None else P()
+        if lrs_op is None:
+            lrs_op = jnp.zeros((1, 1), jnp.float32)  # inert placeholder
+
+        def _local_lrs(lr_block):
+            return lr_block if self.lrs is not None else None
+
         if log_every:
 
-            def shard_fn_traced(st: FusedChainsState):
+            def shard_fn_traced(st: FusedChainsState, lr_block):
                 dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-                return local.run_chunk_traced(st, dev_key, steps, log_every)
+                return local._run(
+                    st, dev_key, steps, None, log_every,
+                    lrs=_local_lrs(lr_block),
+                )
 
             # trace: (G, c_loc) per device -> (G, n_chains) global (the
             # chain axis concatenates in device order)
             # check_vma=False: pallas_call outputs carry no vma annotation
             return jax.shard_map(
-                shard_fn_traced, mesh=mesh, in_specs=(specs,),
+                shard_fn_traced, mesh=mesh, in_specs=(specs, lr_spec),
                 out_specs=(specs, P(None, axis)), check_vma=False,
-            )(state)
+            )(state, lrs_op)
 
-        def shard_fn(st: FusedChainsState) -> FusedChainsState:
+        def shard_fn(st: FusedChainsState, lr_block) -> FusedChainsState:
             dev_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-            return local.run_chunk(st, dev_key, steps)
+            new, _ = local._run(
+                st, dev_key, steps, None, 0, lrs=_local_lrs(lr_block)
+            )
+            return new
 
         return jax.shard_map(
-            shard_fn, mesh=mesh, in_specs=(specs,), out_specs=specs,
-            check_vma=False,
-        )(state)
+            shard_fn, mesh=mesh, in_specs=(specs, lr_spec),
+            out_specs=specs, check_vma=False,
+        )(state, lrs_op)
 
     def q(self, state: FusedChainsState, averaged: bool = True):
         """Stacked MeanFieldGaussian with (n_chains, d) leaves — directly
