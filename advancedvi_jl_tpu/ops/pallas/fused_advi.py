@@ -673,6 +673,14 @@ def _run_chunk(
         len(scratch_shapes), n_samples, d, log_every if traced else steps,
         use_noise, use_ext, traced, algo, entropy, grad_est, operator,
     )
+    # d=512 full-rank carries ~18 MB of state+temporaries — past XLA's
+    # default 16 MB scoped-vmem budget but well inside the chip's VMEM
+    # (ran at 24 MB in chip session 2); raise the kernel's limit only for
+    # the wide case so everything else keeps the default accounting.
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        if family == FULLRANK and d_pad >= 512 else None
+    )
     if not traced:
         vec = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -689,6 +697,7 @@ def _run_chunk(
             out_specs=tuple(vec for _ in out_shape),
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
+            compiler_params=compiler_params,
             interpret=interpret,
         )(*operands)
 
@@ -728,6 +737,7 @@ def _run_chunk(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
 
@@ -1185,6 +1195,202 @@ def mvnormal_spec(mean: jax.Array, scale_tril: jax.Array) -> FusedModelSpec:
 # ---------------------------------------------------------------------------
 
 
+class _Sw:
+    """Lazy 2D-transpose wrapper: logical value = transpose(arr)."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = arr
+
+
+def _eval_transpose_folded(closed_jaxpr, consts, *args, pre_t=None):
+    """Evaluate a jaxpr with every foldable 2D ``transpose`` eliminated —
+    the in-kernel AD layout legalizer behind ``ad_spec``.
+
+    Why: on v5e, transposing an UNALIGNED array (data or an explicit f32
+    value) makes Mosaic transpose its partial-tile padding mask too,
+    which dies at ``tpu.transpose : vector<...xi1>`` legalization (chip
+    sessions 1-4, BENCH_NOTES "Round 5").  ``jax.vmap``/AD of a row-wise
+    log-density inject exactly such transposes: batch-axis moves around
+    the model's matmuls.  This pass removes them without changing
+    semantics:
+
+    - ``transpose`` whose consumers are all dot_generals: deferred as a
+      lazy ``_Sw`` wrapper the dots absorb by flipping that operand's
+      contraction dims (no physical op).
+    - dot_general whose 2D output feeds only ``transpose`` eqns: emitted
+      with swapped operands, producing the transposed result directly;
+      the downstream transposes cancel to no-ops.
+    - a transpose of a CONSTANT leaf: substituted with the pre-transposed
+      copy shipped as an extra kernel operand (``pre_t``: id(leaf value)
+      -> transposed value; built host-side for free), also used to
+      canonicalize dot orientations on const operands.
+    - anything else falls back to a real ``lax.transpose`` (aligned
+      shapes are fine; unaligned ones would surface the Mosaic error —
+      none remain for the vmap(value_and_grad) graphs of row-wise
+      densities).
+    """
+    from jax.extend import core as jex_core
+
+    pre_t = pre_t or {}
+    jaxpr = closed_jaxpr.jaxpr
+
+    cons = {}
+    for eqn in jaxpr.eqns:
+        for v in eqn.invars:
+            if not isinstance(v, jex_core.Literal):
+                cons.setdefault(v, []).append(eqn)
+    for v in jaxpr.outvars:
+        if not isinstance(v, jex_core.Literal):
+            cons.setdefault(v, []).append("out")
+
+    env = {}
+
+    def read_raw(v):
+        return v.val if isinstance(v, jex_core.Literal) else env[v]
+
+    def safe_transpose(x, perm):
+        # THE root hazard (chip sessions 1-4): `tpu.transpose` on an i1
+        # vector fails to legalize on v5e, and jax.vmap injects exactly
+        # such bool transposes (e.g. jax.nn.softplus's inf-guard masks).
+        # Route bool through f32 — f32 relayout transposes lower fine.
+        if x.dtype == jnp.bool_:
+            return jax.lax.transpose(
+                x.astype(jnp.float32), perm
+            ).astype(jnp.bool_)
+        return jax.lax.transpose(x, perm)
+
+    def materialize(x):
+        if isinstance(x, _Sw):
+            if id(x.arr) in pre_t:
+                return pre_t[id(x.arr)]
+            return safe_transpose(x.arr, (1, 0))
+        return x
+
+    def read(v):
+        return materialize(read_raw(v))
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+
+    def only_dot_consumers(v):
+        cs = cons.get(v, [])
+        return bool(cs) and all(
+            c != "out" and c.primitive.name == "dot_general" for c in cs
+        )
+
+    def only_swap_transpose_consumers(v):
+        cs = cons.get(v, [])
+        return bool(cs) and all(
+            c != "out"
+            and c.primitive.name == "transpose"
+            and tuple(c.params["permutation"]) == (1, 0)
+            for c in cs
+        )
+
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "transpose" and (
+            eqn.invars[0].aval.ndim != 2
+            or tuple(eqn.params["permutation"]) != (1, 0)
+        ):
+            # non-2D / non-swap transposes: just keep them bool-safe
+            env[eqn.outvars[0]] = safe_transpose(
+                read(eqn.invars[0]), tuple(eqn.params["permutation"])
+            )
+        elif (
+            name == "transpose"
+            and len(eqn.invars) == 1
+            and eqn.invars[0].aval.ndim == 2
+            and tuple(eqn.params["permutation"]) == (1, 0)
+        ):
+            raw = read_raw(eqn.invars[0])
+            if isinstance(raw, _Sw):
+                env[eqn.outvars[0]] = raw.arr          # double swap: cancel
+            elif id(raw) in pre_t:
+                env[eqn.outvars[0]] = pre_t[id(raw)]   # free const transpose
+            elif only_dot_consumers(eqn.outvars[0]):
+                env[eqn.outvars[0]] = _Sw(raw)         # defer into the dots
+            else:
+                env[eqn.outvars[0]] = safe_transpose(raw, (1, 0))
+        elif name == "dot_general":
+            (ca, cb), (ba, bb) = eqn.params["dimension_numbers"]
+
+            def unwrap(x, c, bt):
+                # absorb a lazy swap by flipping the 2D dim indices
+                if isinstance(x, _Sw) and not bt and x.arr.ndim == 2:
+                    return x.arr, tuple(1 - i for i in c), bt
+                return materialize(x), c, bt
+
+            a2, ca2, ba2 = unwrap(read_raw(eqn.invars[0]), ca, ba)
+            b2, cb2, bb2 = unwrap(read_raw(eqn.invars[1]), cb, bb)
+            # canonicalize const operands for free: lhs wants its contract
+            # dim LAST, rhs wants it FIRST
+            if (
+                a2.ndim == 2 and not ba2 and tuple(ca2) == (0,)
+                and id(a2) in pre_t
+            ):
+                a2, ca2 = pre_t[id(a2)], (1,)
+            if (
+                b2.ndim == 2 and not bb2 and tuple(cb2) == (1,)
+                and id(b2) in pre_t
+            ):
+                b2, cb2 = pre_t[id(b2)], (0,)
+            kw = dict(
+                precision=eqn.params.get("precision"),
+                preferred_element_type=eqn.params.get(
+                    "preferred_element_type"
+                ),
+            )
+            out_v = eqn.outvars[0]
+            if out_v.aval.ndim == 2 and only_swap_transpose_consumers(out_v):
+                # emit the TRANSPOSED result directly (swap lhs/rhs); the
+                # consuming transposes then cancel to no-ops
+                res = jax.lax.dot_general(
+                    b2, a2, ((cb2, ca2), (bb2, ba2)), **kw
+                )
+                env[out_v] = _Sw(res)
+            else:
+                env[out_v] = jax.lax.dot_general(
+                    a2, b2, ((ca2, cb2), (ba2, bb2)), **kw
+                )
+        elif name in ("pjit", "jit") and "jaxpr" in eqn.params:
+            invals = [read(v) for v in eqn.invars]
+            inner = eqn.params["jaxpr"]
+            ans = _eval_transpose_folded(
+                inner, inner.consts, *invals, pre_t=pre_t
+            )
+            for v, x in zip(eqn.outvars, ans):
+                env[v] = x
+        elif (
+            name in ("custom_jvp_call", "custom_vjp_call",
+                     "custom_jvp_call_jaxpr", "custom_vjp_call_jaxpr")
+            and "call_jaxpr" in eqn.params
+        ):
+            # forward-only evaluation: AD already ran when the jaxpr was
+            # built, so the custom rule is dead weight — evaluate the
+            # primal body (recursively, to catch its transposes too)
+            invals = [read(v) for v in eqn.invars]
+            inner = eqn.params["call_jaxpr"]
+            ans = _eval_transpose_folded(
+                inner, inner.consts, *invals, pre_t=pre_t
+            )
+            for v, x in zip(eqn.outvars, ans):
+                env[v] = x
+        else:
+            invals = [read(v) for v in eqn.invars]
+            ans = eqn.primitive.bind(*invals, **eqn.params)
+            if eqn.primitive.multiple_results:
+                for v, x in zip(eqn.outvars, ans):
+                    env[v] = x
+            else:
+                env[eqn.outvars[0]] = ans
+    return [read(v) for v in jaxpr.outvars]
+
+
 def _ad_step_factory(static_cfg, masks, const_refs, mscal_ref):
     """Generic step factory: rebuild the target pytree from the kernel's
     constant refs and trace ``vmap(value_and_grad(log_density))`` INSIDE
@@ -1196,13 +1402,20 @@ def _ad_step_factory(static_cfg, masks, const_refs, mscal_ref):
     zero-pads the gradient back to (rows, D_PAD) automatically, and padded
     SAMPLE rows carry z = mu exactly (u is row-masked before the affine
     map), keeping log_density evaluations off-manifold-free."""
-    treedef, d, shapes = static_cfg
+    treedef, d, shapes, t_slots = static_cfg
+    n_leaves = len(shapes)
     leaves = []
-    for ref, shp in zip(const_refs, shapes):
+    for ref, shp in zip(const_refs[:n_leaves], shapes):
         v = ref[:]
         if shp == ():
             v = v[0, 0]      # 0-d leaves travel as (1, 1) VMEM consts
         leaves.append(v)
+    # pre-transposed copies of 2D leaves (see _canonical_dot): maps the
+    # LOADED leaf tracer's id to its transposed buffer's loaded value
+    pre_t = {
+        id(leaves[leaf_i]): const_refs[slot][:]
+        for leaf_i, slot in t_slots
+    }
     target = jax.tree_util.tree_unflatten(treedef, leaves)
 
     def logp_row(zrow):
@@ -1211,7 +1424,12 @@ def _ad_step_factory(static_cfg, masks, const_refs, mscal_ref):
     vag = jax.vmap(jax.value_and_grad(logp_row))
 
     def fn(z, it):
-        logpi, grad = vag(z)
+        # round-trip through a jaxpr so the vmap/AD-injected transposes
+        # are folded away before Mosaic sees them (_eval_transpose_folded)
+        closed = jax.make_jaxpr(vag)(z)
+        logpi, grad = _eval_transpose_folded(
+            closed, closed.consts, z, pre_t=pre_t
+        )
         return logpi.reshape(z.shape[0], 1), grad
 
     return fn
@@ -1258,12 +1476,24 @@ def ad_spec(target) -> FusedModelSpec:
             )
         shapes.append(arr.shape)
         consts.append(arr.reshape(1, 1) if arr.ndim == 0 else arr)
+    # Transposed copies of genuinely-2D leaves, appended as extra consts:
+    # the canonical-dot rewrite substitutes them wherever AD/vmap would
+    # otherwise transpose the const IN-KERNEL — which Mosaic cannot lower
+    # for unaligned arrays (the i1 padding-mask transpose, chip session
+    # 3).  Costs one extra VMEM-resident copy per 2D const.
+    t_slots = []
+    n_leaves = len(consts)
+    for i in range(n_leaves):
+        a = consts[i]
+        if a.ndim == 2 and a.shape[0] > 1 and a.shape[1] > 1:
+            t_slots.append((i, len(consts)))
+            consts.append(jnp.transpose(a))
     return FusedModelSpec(
         dim=d,
         consts=tuple(consts),
         scalars=jnp.zeros((1,), jnp.float32),
         step_factory=_ad_step_factory,
-        static_cfg=(treedef, d, tuple(shapes)),
+        static_cfg=(treedef, d, tuple(shapes), tuple(t_slots)),
     )
 
 

@@ -447,7 +447,10 @@ class Model:
                 theta[: self._dg_unc]
             )
             for n, (off, sz, shape) in self._slices.items():
-                v = jax.lax.dynamic_slice_in_dim(g_con, off, sz)
+                # static slice (offsets are Python ints): stays
+                # Mosaic-lowerable when the replay runs INSIDE a fused
+                # Pallas kernel via an AD-derived spec (fused_advi.ad_spec)
+                v = g_con[off : off + sz]
                 values[n] = v.reshape(shape) if shape else v[0]
         local = theta[self._dg_unc :].reshape(rows, self.local_k)
         l_ldj = zero
@@ -499,7 +502,8 @@ class Model:
         """Flat constrained vector -> {site: value} with original shapes."""
         out = {}
         for n, (off, sz, shape) in self._slices.items():
-            v = jax.lax.dynamic_slice_in_dim(theta_constrained, off, sz)
+            # static slice — see _decode (Pallas-lowerable under ad_spec)
+            v = theta_constrained[off : off + sz]
             out[n] = v.reshape(shape) if shape else v[0]
         return out
 

@@ -257,3 +257,76 @@ def test_ad_spec_validation():
     )
     with pytest.raises(ValueError, match="order"):
         ad_spec(oracle)
+
+
+def test_transpose_folding_is_identity_and_transpose_free():
+    """_eval_transpose_folded is semantically the identity AND leaves no
+    transpose ops in the graphs vmap/AD produce for row-wise densities —
+    the Mosaic i1-mask-transpose workaround (chip sessions 1-4)."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        _eval_transpose_folded,
+    )
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(13, 6)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(13,)).astype(np.float32))
+
+    def f(t):
+        logits = X @ t
+        return jnp.sum(y * logits - jax.nn.softplus(logits)) - jnp.sum(
+            t ** 2
+        )
+
+    vag = jax.vmap(jax.value_and_grad(f))
+    z = jnp.asarray(rng.normal(size=(4, 6)).astype(np.float32))
+    closed = jax.make_jaxpr(vag)(z)
+    XT = jnp.transpose(X)
+    pre_t = {id(c): jnp.transpose(c) for c in closed.consts
+             if getattr(c, "ndim", 0) == 2}
+
+    got_v, got_g = _eval_transpose_folded(
+        closed, closed.consts, z, pre_t=pre_t
+    )
+    want_v, want_g = vag(z)
+    assert_allclose(np.asarray(got_v), np.asarray(want_v), rtol=1e-5,
+                    atol=1e-6)
+    assert_allclose(np.asarray(got_g), np.asarray(want_g), rtol=1e-5,
+                    atol=1e-6)
+
+    # the rewrite's hardware invariant: NO bool transposes survive (the
+    # `tpu.transpose : i1` legalization failure, chip sessions 1-4), and
+    # foldable f32 transposes are strictly reduced
+    def count_transposes(jx, dtype=None):
+        n = 0
+        for eq in jx.eqns:
+            if eq.primitive.name == "transpose" and (
+                dtype is None or eq.invars[0].aval.dtype == dtype
+            ):
+                n += 1
+            for key in ("jaxpr", "call_jaxpr"):
+                sub = eq.params.get(key)
+                if sub is not None:
+                    n += count_transposes(
+                        getattr(sub, "jaxpr", sub), dtype
+                    )
+        return n
+
+    import jax.numpy as _jnp
+
+    assert count_transposes(closed.jaxpr, _jnp.bool_) >= 1  # vmap injected
+    rewritten = jax.make_jaxpr(
+        lambda zz: _eval_transpose_folded(
+            closed, closed.consts, zz, pre_t=pre_t
+        )
+    )(z)
+    assert count_transposes(rewritten.jaxpr, _jnp.bool_) == 0, rewritten
+    assert count_transposes(rewritten.jaxpr) <= count_transposes(
+        closed.jaxpr
+    )
+
+    # identity also without pre_t (pure folding)
+    got_v2, got_g2 = _eval_transpose_folded(closed, closed.consts, z)
+    assert_allclose(np.asarray(got_v2), np.asarray(want_v), rtol=1e-5,
+                    atol=1e-6)
+    assert_allclose(np.asarray(got_g2), np.asarray(want_g), rtol=1e-5,
+                    atol=1e-6)
