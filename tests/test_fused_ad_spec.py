@@ -16,7 +16,7 @@ Pinning strategy (interpret mode, noise injection — as test_fused_advi):
   multi-chain kernel unchanged.
 
 Hardware lowering of the AD-spec jaxpr is chip-validated separately
-(_ad_spec_chip.py / BENCH_NOTES "Round 5") — interpret mode cannot prove
+(_round5_chip3.py session 5 / BENCH_NOTES "Round 5") — interpret mode cannot prove
 Mosaic lowering.
 """
 
