@@ -136,4 +136,4 @@ from .ops.pallas.fused_chains import FusedChainsADVI
 
 from . import ppl  # model-ingestion DSL + numpyro bridge (L8)
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"

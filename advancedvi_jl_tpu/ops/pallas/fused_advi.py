@@ -225,6 +225,23 @@ class FusedADVIState(NamedTuple):
     ext: Optional[Tuple[jax.Array, ...]] = None
 
 
+def _cocob_update(ca, x, x1, L, Gs, Rw, th, g):
+    """One COCOB-Backprop coordinate-wise update (optim/rules.py cocob;
+    reference rules.jl:78-96) — shared by the single-chain and chains
+    kernels so the coin-betting math can never drift between them.
+    x1 rides the m_* slots, L the v_* slots, (Gs, Rw, th) the ext slots;
+    padded entries see g = 0 forever, so den stays 0 and they hold
+    x = x1 (the padded init values) — inert like the general path's
+    inert upper triangle."""
+    L2 = jnp.maximum(L, jnp.abs(g))
+    G2 = Gs + jnp.abs(g)
+    R2 = jnp.maximum(Rw + (x - x1) * (-g), 0.0)
+    t2 = th - g
+    den = L2 * jnp.maximum(G2 + L2, ca * L2)
+    bet = jnp.where(den > 0, t2 / jnp.where(den > 0, den, 1.0), 0.0)
+    return x1 + bet * (L2 + R2), L2, G2, R2, t2
+
+
 def _backsub_ct(C, u, d, lane):
     """v = C^{-T} u by back-substitution, unrolled over the d real rows.
 
@@ -505,31 +522,15 @@ def _kernel(
             m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
             m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
         elif algo == ALGO_COCOB:
-            # COCOB-Backprop, per-coordinate coin betting (optim/rules.py
-            # cocob; reference rules.jl:78-96): x1 rides m_*, L rides v_*,
-            # (G, reward, theta) ride the ext slots.  Fully elementwise;
-            # padded entries see g = 0 forever, so denom stays 0 and they
-            # hold x = x1 (the padded init values) — inert by the same
-            # argument as the general path's inert upper triangle.
+            # per-coordinate coin betting — see _cocob_update for the
+            # slot layout and padding-inertness argument
             ca = hyp_ref[6]
             g_mu, r_mu, t_mu, g_sig, r_sig, t_sig = ext
-
-            def cocob(x, x1, L, Gs, Rw, th, g):
-                L2 = jnp.maximum(L, jnp.abs(g))
-                G2 = Gs + jnp.abs(g)
-                R2 = jnp.maximum(Rw + (x - x1) * (-g), 0.0)
-                t2 = th - g
-                den = L2 * jnp.maximum(G2 + L2, ca * L2)
-                bet = jnp.where(
-                    den > 0, t2 / jnp.where(den > 0, den, 1.0), 0.0
-                )
-                return x1 + bet * (L2 + R2), L2, G2, R2, t2
-
-            mu, v_mu, g_mu, r_mu, t_mu = cocob(
-                mu, m_mu, v_mu, g_mu, r_mu, t_mu, dmu
+            mu, v_mu, g_mu, r_mu, t_mu = _cocob_update(
+                ca, mu, m_mu, v_mu, g_mu, r_mu, t_mu, dmu
             )
-            sig, v_sig, g_sig, r_sig, t_sig = cocob(
-                sig, m_sig, v_sig, g_sig, r_sig, t_sig, dsig
+            sig, v_sig, g_sig, r_sig, t_sig = _cocob_update(
+                ca, sig, m_sig, v_sig, g_sig, r_sig, t_sig, dsig
             )
             ext = (g_mu, r_mu, t_mu, g_sig, r_sig, t_sig)
         else:
@@ -978,85 +979,11 @@ def _pack_minibatch_consts(Xp, yp, B, db):
     return (X_pad, yX_pad)
 
 
-def logreg_minibatch_spec(
-    X: jax.Array,
-    y: jax.Array,
-    batch_size: int,
-    prior_scale: float = 3.0,
-    key: Optional[jax.Array] = None,
-) -> FusedModelSpec:
-    """Doubly-stochastic hierarchical logreg as a fused-engine model.
-
-    TPU-first subsampling: the dataset lives permuted in VMEM; each step
-    loads one contiguous batch slab (``pl.ds``) on a cyclic schedule
-    ``batch k = it % nb`` and rescales the likelihood by n_data/B — the
-    library's ``subsample`` contract (models/logreg.py), with the
-    reference's drop-trailing-batch semantics (reshuffling.jl:48-53:
-    trailing rows beyond nb*B are dropped from each permutation).  The
-    per-batch ``sum_j y_j X_j`` rows are precomputed so the in-kernel
-    likelihood and gradient are matmul-only (no label array on chip).
-
-    Epoch semantics: within a chunk the permutation is FIXED (cyclic
-    incremental-gradient passes); ``reshuffle`` re-permutes between
-    driver chunks — coarser than the general path's per-epoch reshuffle,
-    same unbiased estimator.  Requires n_used = nb*B rows resident in
-    VMEM: n_data * 512 bytes <= ~12 MB, i.e. n_data <~ 24k.
-    """
-    n_data, db = X.shape
-    if db + 1 > D_PAD_MAX:
-        raise ValueError(
-            f"fused engine supports dim <= {D_PAD_MAX}, got {db + 1}"
-        )
-    if batch_size % 8 != 0:
-        raise ValueError(f"batch_size must be a multiple of 8, got {batch_size}")
-    nb = n_data // batch_size
-    if nb < 1:
-        raise ValueError(
-            f"batch_size {batch_size} exceeds n_data {n_data}"
-        )
-    n_used = nb * batch_size
-    X = jnp.asarray(X)
-    y = jnp.asarray(y)
-    if key is not None:
-        perm = jax.random.permutation(key, n_data)[:n_used]
-        Xp, yp = jnp.take(X, perm, axis=0), jnp.take(y, perm, axis=0)
-    else:
-        Xp, yp = X[:n_used], y[:n_used]
-
-    def reshuffle(k, consts):
-        perm = jax.random.permutation(k, n_data)[:n_used]
-        return _pack_minibatch_consts(
-            jnp.take(X, perm, axis=0), jnp.take(y, perm, axis=0),
-            batch_size, db,
-        )
-
-    return FusedModelSpec(
-        dim=db + 1,
-        consts=_pack_minibatch_consts(Xp, yp, batch_size, db),
-        scalars=jnp.array([n_data / batch_size, prior_scale], jnp.float32),
-        step_factory=_logreg_mb_step_factory,
-        static_cfg=(db, batch_size, nb),
-        reshuffle=reshuffle,
-    )
-
-
-def logreg_minibatch_hbm_spec(
-    X: jax.Array,
-    y: jax.Array,
-    batch_size: int,
-    prior_scale: float = 3.0,
-    key: Optional[jax.Array] = None,
-) -> FusedModelSpec:
-    """Doubly-stochastic hierarchical logreg with the dataset resident in
-    HBM (VERDICT r4 #5): same estimator and schedule as
-    ``logreg_minibatch_spec``, but the feature matrix never enters VMEM
-    whole — each step DMAs one (B, D_PAD) slab into a scratch buffer, so
-    n_data scales to HBM capacity (500k rows = 256 MB at D_PAD=128)
-    instead of the ~24k-row VMEM cap.  Reference analogue:
-    src/algorithms/subsampledobjective.jl:10-90 has no residency
-    constraint (CPU RAM); this is the TPU-native equivalent for the
-    large-n regime that motivates subsampling in the first place.
-    """
+def _logreg_mb_build(X, y, batch_size, prior_scale, key, streamed):
+    """Shared builder for the VMEM-resident and HBM-streamed minibatch
+    logreg specs — one copy of the validation, drop-trailing-batch
+    permutation, likelihood rescaling, and reshuffle closure (review
+    finding r5)."""
     n_data, db = X.shape
     if db + 1 > D_PAD_MAX:
         raise ValueError(
@@ -1090,12 +1017,67 @@ def logreg_minibatch_hbm_spec(
         dim=db + 1,
         consts=_pack_minibatch_consts(Xp, yp, batch_size, db),
         scalars=jnp.array([n_data / batch_size, prior_scale], jnp.float32),
-        step_factory=_logreg_mb_hbm_step_factory,
+        step_factory=(
+            _logreg_mb_hbm_step_factory if streamed
+            else _logreg_mb_step_factory
+        ),
         static_cfg=(db, batch_size, nb),
         reshuffle=reshuffle,
-        const_spaces=("any", "vmem"),
-        scratch=(("vmem", (batch_size, dp), "float32"), ("dma",)),
+        const_spaces=("any", "vmem") if streamed else None,
+        scratch=(
+            (("vmem", (batch_size, dp), "float32"), ("dma",))
+            if streamed else ()
+        ),
     )
+
+
+def logreg_minibatch_spec(
+    X: jax.Array,
+    y: jax.Array,
+    batch_size: int,
+    prior_scale: float = 3.0,
+    key: Optional[jax.Array] = None,
+) -> FusedModelSpec:
+    """Doubly-stochastic hierarchical logreg as a fused-engine model.
+
+    TPU-first subsampling: the dataset lives permuted in VMEM; each step
+    loads one contiguous batch slab (``pl.ds``) on a cyclic schedule
+    ``batch k = it % nb`` and rescales the likelihood by n_data/B — the
+    library's ``subsample`` contract (models/logreg.py), with the
+    reference's drop-trailing-batch semantics (reshuffling.jl:48-53:
+    trailing rows beyond nb*B are dropped from each permutation).  The
+    per-batch ``sum_j y_j X_j`` rows are precomputed so the in-kernel
+    likelihood and gradient are matmul-only (no label array on chip).
+
+    Epoch semantics: within a chunk the permutation is FIXED (cyclic
+    incremental-gradient passes); ``reshuffle`` re-permutes between
+    driver chunks — coarser than the general path's per-epoch reshuffle,
+    same unbiased estimator.  Requires n_used = nb*B rows resident in
+    VMEM: n_data * 512 bytes <= ~12 MB, i.e. n_data <~ 24k (use
+    ``logreg_minibatch_hbm_spec`` beyond that).
+    """
+    return _logreg_mb_build(X, y, batch_size, prior_scale, key, False)
+
+
+def logreg_minibatch_hbm_spec(
+    X: jax.Array,
+    y: jax.Array,
+    batch_size: int,
+    prior_scale: float = 3.0,
+    key: Optional[jax.Array] = None,
+) -> FusedModelSpec:
+    """Doubly-stochastic hierarchical logreg with the dataset resident in
+    HBM (VERDICT r4 #5): same estimator and schedule as
+    ``logreg_minibatch_spec``, but the feature matrix never enters VMEM
+    whole — each step DMAs one (B, D_PAD) slab into a scratch buffer, so
+    n_data scales to HBM capacity (500k rows = 256 MB at D_PAD=128)
+    instead of the ~24k-row VMEM cap.  Measured: 396k steps/s at n=500k,
+    1.43x the resident spec's per-step cost (BENCH_NOTES "Round 5").
+    Reference analogue: src/algorithms/subsampledobjective.jl:10-90 has
+    no residency constraint (CPU RAM); this is the TPU-native equivalent
+    for the large-n regime that motivates subsampling in the first place.
+    """
+    return _logreg_mb_build(X, y, batch_size, prior_scale, key, True)
 
 
 def _gaussian_step_factory(static_cfg, masks, const_refs, mscal_ref):
@@ -1346,9 +1328,16 @@ def _eval_transpose_folded(closed_jaxpr, consts, *args, pre_t=None):
                 ),
             )
             out_v = eqn.outvars[0]
-            if out_v.aval.ndim == 2 and only_swap_transpose_consumers(out_v):
+            if (
+                out_v.aval.ndim == 2
+                and not (ba2 or bb2)
+                and only_swap_transpose_consumers(out_v)
+            ):
                 # emit the TRANSPOSED result directly (swap lhs/rhs); the
-                # consuming transposes then cancel to no-ops
+                # consuming transposes then cancel to no-ops.  Batched
+                # dots are excluded: swapping their operands does NOT
+                # transpose the output (batch dims stay leading) — review
+                # finding r5.
                 res = jax.lax.dot_general(
                     b2, a2, ((cb2, ca2), (bb2, ba2)), **kw
                 )

@@ -60,6 +60,7 @@ from .fused_advi import (
     OP_NONE,
     OP_PROX,
     _GOLD,
+    _cocob_update,
     FusedModelSpec,
     Masks,
     _box_muller,
@@ -264,27 +265,15 @@ def _chains_kernel(
         elif algo == ALGO_COCOB:
             # per-coordinate coin betting — COCOB is fully elementwise, so
             # the multi-chain form is literally the single-chain form on
-            # (c_pad, D_PAD) blocks (see fused_advi._kernel for the slot
-            # layout and padding-inertness argument).
+            # (c_pad, D_PAD) blocks: the SHARED _cocob_update keeps the
+            # two kernels numerically identical by construction.
             ca = hyp_ref[6]
             g_mu, r_mu, t_mu, g_sig, r_sig, t_sig = ext
-
-            def cocob(x, x1, L, Gs, Rw, th, g):
-                L2 = jnp.maximum(L, jnp.abs(g))
-                G2 = Gs + jnp.abs(g)
-                R2 = jnp.maximum(Rw + (x - x1) * (-g), 0.0)
-                t2 = th - g
-                den = L2 * jnp.maximum(G2 + L2, ca * L2)
-                bet = jnp.where(
-                    den > 0, t2 / jnp.where(den > 0, den, 1.0), 0.0
-                )
-                return x1 + bet * (L2 + R2), L2, G2, R2, t2
-
-            mu, v_mu, g_mu, r_mu, t_mu = cocob(
-                mu, m_mu, v_mu, g_mu, r_mu, t_mu, dmu
+            mu, v_mu, g_mu, r_mu, t_mu = _cocob_update(
+                ca, mu, m_mu, v_mu, g_mu, r_mu, t_mu, dmu
             )
-            sig, v_sig, g_sig, r_sig, t_sig = cocob(
-                sig, m_sig, v_sig, g_sig, r_sig, t_sig, dsig
+            sig, v_sig, g_sig, r_sig, t_sig = _cocob_update(
+                ca, sig, m_sig, v_sig, g_sig, r_sig, t_sig, dsig
             )
             ext = (g_mu, r_mu, t_mu, g_sig, r_sig, t_sig)
         else:

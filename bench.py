@@ -137,6 +137,34 @@ def main():
     # elbo ~-103 at this horizon); reported, never asserted.
     converged = bool(jnp.isfinite(elbo)) and elbo > -150.0
 
+    # loss-proofing (round-3 lesson): stage 1's number is now on disk
+    # BEFORE the stage-2 TPU work — a wedge/hang there (the exact r03
+    # failure mode, which a try/except cannot catch) no longer destroys
+    # the fused headline.  The single stdout JSON line stays the
+    # authoritative artifact; this side file is the recovery record.
+    try:
+        import os
+
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_PROVISIONAL.json"), "w"
+        ) as fh:
+            json.dump(
+                {
+                    "metric": "elbo_grad_steps_per_s_logreg_advi_stl",
+                    "value": round(steps_per_s, 1),
+                    "unit": "steps/s",
+                    "engine": "fused_pallas_whole_loop",
+                    "converged": converged,
+                    "elbo": round(elbo, 3) if math.isfinite(elbo) else None,
+                    "warmup_s": round(warmup_s, 1),
+                    "provisional": True,
+                },
+                fh,
+            )
+    except Exception as exc:
+        log(f"provisional artifact write failed (non-fatal): {exc!r}")
+
     # ---- stage 2: general-path comparison (parsed field; failure-safe) ----
     gen_sps = gen_elbo = None
     try:

@@ -77,9 +77,10 @@ def check_all(current: dict, repo: str = REPO) -> tuple[str, bool]:
     the conjunction of both gates; a missing current general measurement
     is info-only (the fused artifact must never be hostage to stage-2
     failures)."""
+    prior = latest_prior(repo)   # resolved ONCE for both series
     v, ok = check(
         current["value"], current.get("engine"),
-        metric=current.get("metric"), repo=repo,
+        metric=current.get("metric"), repo=repo, prior=prior,
     )
     lines = ["fused:   " + v]
     gen = current.get("general_steps_per_s")
@@ -87,7 +88,6 @@ def check_all(current: dict, repo: str = REPO) -> tuple[str, bool]:
         lines.append("general: no current measurement — info only")
     else:
         prev = rnd = None
-        prior = latest_prior(repo)
         if prior is not None:
             rnd, parsed = prior
             prev = parsed.get("general_steps_per_s")
@@ -113,8 +113,10 @@ def check(
     engine: str | None = None,
     metric: str | None = None,
     repo: str = REPO,
+    prior: tuple[int, dict] | None = None,
 ) -> tuple[str, bool]:
-    prior = latest_prior(repo)
+    if prior is None:
+        prior = latest_prior(repo)
     if prior is None:
         return "perf gate: no prior parsed BENCH artifact — pass (first run)", True
     n, parsed = prior

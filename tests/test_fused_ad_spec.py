@@ -330,3 +330,35 @@ def test_transpose_folding_is_identity_and_transpose_free():
                     atol=1e-6)
     assert_allclose(np.asarray(got_g2), np.asarray(want_g), rtol=1e-5,
                     atol=1e-6)
+
+
+def test_transpose_folding_batched_dot_not_swapped():
+    """Review finding r5: swapping lhs/rhs of a BATCHED dot does not
+    transpose its output (batch dims stay leading), so the swap rewrite
+    must skip batched dots.  Asymmetric shapes (rows=4 != m=5) would
+    shape-error or silently transpose under the unguarded rewrite."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        _eval_transpose_folded,
+    )
+
+    rng = np.random.default_rng(3)
+    m, k = 5, 3
+
+    def f(t):
+        # theta-dependent per-row matrix-vector product: under vmap BOTH
+        # operands are batched
+        W = t[: m * k].reshape(m, k)
+        v = t[m * k : m * k + k]
+        y = W @ v
+        return jnp.sum(y * y) + jnp.sum(jnp.tanh(W).T @ y)
+
+    d = m * k + k
+    vag = jax.vmap(jax.value_and_grad(f))
+    z = jnp.asarray(rng.normal(size=(4, d)).astype(np.float32))
+    closed = jax.make_jaxpr(vag)(z)
+    got_v, got_g = _eval_transpose_folded(closed, closed.consts, z)
+    want_v, want_g = vag(z)
+    assert_allclose(np.asarray(got_v), np.asarray(want_v), rtol=1e-5,
+                    atol=1e-5)
+    assert_allclose(np.asarray(got_g), np.asarray(want_g), rtol=1e-5,
+                    atol=1e-5)
