@@ -875,9 +875,16 @@ def logreg_spec(
     )
 
 
-def _logreg_mb_math(static_cfg, masks, mscal_ref, yX_ref, load_slab):
-    """Shared minibatch-logreg step math; ``load_slab(k)`` returns batch
-    k's (B, D_PAD) feature slab (direct VMEM slice or HBM DMA)."""
+def _logreg_mb_math(static_cfg, masks, mscal_ref, yX_ref, start_slab,
+                    wait_slab):
+    """Shared minibatch-logreg step math.  The slab arrives through a
+    two-phase loader so the HBM variant can OVERLAP its DMA with the
+    slab-independent compute: ``start_slab(k)`` kicks off (or simply
+    slices) batch k's (B, D_PAD) feature load and returns a handle;
+    ``wait_slab(handle)`` blocks (no-op for the resident spec) and
+    returns the slab.  Everything not touching X — the prior terms, the
+    z reductions, and the precomputed-yX likelihood dot — runs between
+    the two, hiding most of the per-step DMA round trip."""
     db, B, nb = static_cfg
     likeadj = mscal_ref[0]        # n_data / B (the subsample contract)
     s_prior = mscal_ref[1]
@@ -888,14 +895,19 @@ def _logreg_mb_math(static_cfg, masks, mscal_ref, yX_ref, load_slab):
 
     def fn(z, it):
         k = jax.lax.rem(it, nb)
-        Xb = load_slab(k)                     # minibatch slab
+        handle = start_slab(k)                # slab load in flight
         yXb = yX_ref[pl.ds(k, 1), :]          # sum_j y_j X_j of this batch
 
         beta = z * maskb
         tcol = jnp.sum(z * onehot_t, axis=1, keepdims=True)
         inv_sig2 = jnp.exp(-2.0 * tcol)
         beta_sq = jnp.sum(beta * beta, axis=1, keepdims=True)
+        # sum_j y_j logits_ij = beta . (sum_j y_j X_j): slab-independent
+        ylogit = jax.lax.dot_general(
+            beta, yXb, dn, preferred_element_type=jnp.float32
+        )                                     # (N_PAD, 1)
 
+        Xb = wait_slab(handle)                # first slab use
         # logits without transposing the slab: contract lane dims
         logits = jax.lax.dot_general(
             beta, Xb, dn, preferred_element_type=jnp.float32
@@ -904,10 +916,6 @@ def _logreg_mb_math(static_cfg, masks, mscal_ref, yX_ref, load_slab):
         sp = jnp.maximum(logits, 0.0) + jnp.log1p(
             jnp.exp(-jnp.abs(logits))
         )
-        # sum_j y_j logits_ij = beta . (sum_j y_j X_j): no y in-kernel
-        ylogit = jax.lax.dot_general(
-            beta, yXb, dn, preferred_element_type=jnp.float32
-        )                                     # (N_PAD, 1)
         loglike = ylogit - jnp.sum(sp, axis=1, keepdims=True)
 
         logpi = (
@@ -934,7 +942,8 @@ def _logreg_mb_step_factory(static_cfg, masks, const_refs, mscal_ref):
     X_ref, yX_ref = const_refs    # (n_used, D_PAD), (nb_pad, D_PAD)
     return _logreg_mb_math(
         static_cfg, masks, mscal_ref, yX_ref,
-        lambda k: X_ref[pl.ds(k * B, B), :],
+        lambda k: X_ref[pl.ds(k * B, B), :],   # start = direct slice
+        lambda slab: slab,                     # wait  = no-op
     )
 
 
@@ -943,24 +952,31 @@ def _logreg_mb_hbm_step_factory(
 ):
     """HBM-streamed variant (VERDICT r4 #5): the feature matrix stays in
     HBM; each step DMAs ONE (B, D_PAD) batch slab into the VMEM scratch
-    buffer and waits, so n_data is bounded by HBM (~10^7 rows at
-    D_PAD=128), not the ~24k-row VMEM residency of the resident spec.
-    The per-batch yX rows stay VMEM-resident (nb rows — KBs).  Per-step
-    cost adds one DMA round trip (~B*D_PAD*4 bytes at HBM bandwidth +
-    latency); measured on chip in BENCH_NOTES "Round 5"."""
+    buffer, so n_data is bounded by HBM (~10^7 rows at D_PAD=128), not
+    the ~24k-row VMEM residency of the resident spec.  The copy is
+    started at the top of the step and waited only at the slab's first
+    use, so the slab-independent compute (prior terms, yX likelihood
+    dot) hides most of the DMA round trip (~B*D_PAD*4 bytes at HBM
+    bandwidth + latency); the per-batch yX rows stay VMEM-resident (nb
+    rows — KBs).  Measured on chip in BENCH_NOTES "Round 5"."""
     db, B, nb = static_cfg
     X_hbm, yX_ref = const_refs    # (n_used, D_PAD) in HBM, (nb_pad, D_PAD)
     xbuf, sem = scratch_refs      # (B, D_PAD) VMEM slab + DMA semaphore
 
-    def load_slab(k):
+    def start_slab(k):
         dma = pltpu.make_async_copy(
             X_hbm.at[pl.ds(k * B, B), :], xbuf, sem
         )
         dma.start()
+        return dma
+
+    def wait_slab(dma):
         dma.wait()
         return xbuf[:]
 
-    return _logreg_mb_math(static_cfg, masks, mscal_ref, yX_ref, load_slab)
+    return _logreg_mb_math(
+        static_cfg, masks, mscal_ref, yX_ref, start_slab, wait_slab
+    )
 
 
 def _pack_minibatch_consts(Xp, yp, B, db):
