@@ -276,16 +276,27 @@ def new_engines_layer():
     err = float(jnp.max(jnp.abs(qn.location - mu_true)))
     check("fused prox fullrank+NLN loc", err < 0.02, f"max|err|={err:.4f}")
 
-    # (c) scoregrad (BBVI) dowg+clip: same posterior as ADVI
+    # (c) scoregrad (BBVI) dowg+clip: same posterior as ADVI.
+    # MEDIAN over 3 seeds: VarGrad+DoWG is seed-sensitive (chip session 7:
+    # 5/6 seeds land at -103.71 +- 0.02 == the general path's -103.7086,
+    # one DoWG early-trajectory outlier at -104.67), so a single-seed band
+    # check false-alarms on outliers while the median stays sensitive to
+    # SYSTEMATIC stream bias.
     engs = FusedScoreGradVI(spec, n_samples=10, optimizer="dowg",
                             operator="clip")
-    sts = engs.init(jnp.zeros(dl), 0.1 * jnp.ones(dl))
-    run = jax.jit(lambda s: engs.run_chunk(s, key, 50_000))
-    for _ in range(3):
-        sts = run(sts)
-    e_s = eval_elbo(engs.q(sts))
-    check("fused scoregrad mf+logreg ELBO", abs(e_s - (-103.77)) < 0.3,
-          f"elbo={e_s:.4f} (band -103.77 +- 0.3)")
+    es = []
+    for seed in (5, 0, 1):
+        sts = engs.init(jnp.zeros(dl), 0.1 * jnp.ones(dl))
+        k_s = jax.random.key(seed)
+        run = jax.jit(lambda s, k=k_s: engs.run_chunk(s, k, 50_000))
+        for _ in range(3):
+            sts = run(sts)
+        es.append(eval_elbo(engs.q(sts)))
+    e_s = sorted(es)[1]
+    check("fused scoregrad mf+logreg ELBO (median of 3 seeds)",
+          abs(e_s - (-103.77)) < 0.3,
+          f"median elbo={e_s:.4f} of {[f'{e:.3f}' for e in es]} "
+          f"(band -103.77 +- 0.3)")
 
     # (d) chains: 64 independent streams agree on the optimum
     engc = FusedChainsADVI(spec, n_chains=64, n_samples=10, lr=1e-3)
