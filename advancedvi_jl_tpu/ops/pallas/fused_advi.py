@@ -195,6 +195,11 @@ class Masks(NamedTuple):
     maskn: jax.Array    # (N_PAD, D_PAD) f32, 1.0 on the n real rows
     d: int              # real latent dimension
     n_samples: int
+    # loop bounds for factories that pipeline cross-step state (e.g. the
+    # double-buffered DMA prefetch): it0 is the chunk's starting global
+    # iteration (traced int32), steps the kernel-loop length (static).
+    it0: Any = None
+    steps: Any = None
 
 
 class FusedADVIState(NamedTuple):
@@ -384,7 +389,7 @@ def _kernel(
     rowi = jax.lax.broadcasted_iota(jnp.int32, (N_PAD, dp), 0)
     maskn = (rowi < n_samples).astype(jnp.float32)
     masks = Masks(lane=lane, maskd=maskd, maskn=maskn, d=d,
-                  n_samples=n_samples)
+                  n_samples=n_samples, it0=it0, steps=steps)
 
     if n_scratch:
         model_fn = step_factory(
@@ -392,6 +397,11 @@ def _kernel(
         )
     else:
         model_fn = step_factory(static_cfg, masks, const_refs, mscal_ref)
+    # factories with cross-step pipeline state return (fn, epilogue);
+    # the epilogue runs after the loop (e.g. waiting the final prefetch)
+    model_epilogue = None
+    if isinstance(model_fn, tuple):
+        model_fn, model_epilogue = model_fn
 
     if family == FULLRANK:
         # lane/sublane iotas for the (D_PAD, D_PAD) scale block
@@ -616,6 +626,8 @@ def _kernel(
     amu_o[:] = a_mu
     asig_o[:] = a_sig
     elbo_o[:] = jnp.full((1, dp), elbo)
+    if model_epilogue is not None:
+        model_epilogue()
     if traced:
         # this grid step's row of the thinned ELBO trace.  The trace buffer
         # is a FULL-array block (constant index map, resident in VMEM for
@@ -752,7 +764,10 @@ def _materialize_scratch(scratch):
         if s[0] == "vmem":
             out.append(pltpu.VMEM(tuple(s[1]), jnp.dtype(s[2])))
         elif s[0] == "dma":
-            out.append(pltpu.SemaphoreType.DMA)
+            out.append(
+                pltpu.SemaphoreType.DMA(tuple(s[1])) if len(s) > 1
+                else pltpu.SemaphoreType.DMA
+            )
         else:
             raise ValueError(f"unknown scratch descriptor {s!r}")
     return out
@@ -895,7 +910,7 @@ def _logreg_mb_math(static_cfg, masks, mscal_ref, yX_ref, start_slab,
 
     def fn(z, it):
         k = jax.lax.rem(it, nb)
-        handle = start_slab(k)                # slab load in flight
+        handle = start_slab(k, it)            # slab load in flight
         yXb = yX_ref[pl.ds(k, 1), :]          # sum_j y_j X_j of this batch
 
         beta = z * maskb
@@ -942,8 +957,8 @@ def _logreg_mb_step_factory(static_cfg, masks, const_refs, mscal_ref):
     X_ref, yX_ref = const_refs    # (n_used, D_PAD), (nb_pad, D_PAD)
     return _logreg_mb_math(
         static_cfg, masks, mscal_ref, yX_ref,
-        lambda k: X_ref[pl.ds(k * B, B), :],   # start = direct slice
-        lambda slab: slab,                     # wait  = no-op
+        lambda k, it: X_ref[pl.ds(k * B, B), :],  # start = direct slice
+        lambda slab: slab,                        # wait  = no-op
     )
 
 
@@ -963,7 +978,7 @@ def _logreg_mb_hbm_step_factory(
     X_hbm, yX_ref = const_refs    # (n_used, D_PAD) in HBM, (nb_pad, D_PAD)
     xbuf, sem = scratch_refs      # (B, D_PAD) VMEM slab + DMA semaphore
 
-    def start_slab(k):
+    def start_slab(k, it):
         dma = pltpu.make_async_copy(
             X_hbm.at[pl.ds(k * B, B), :], xbuf, sem
         )
@@ -977,6 +992,52 @@ def _logreg_mb_hbm_step_factory(
     return _logreg_mb_math(
         static_cfg, masks, mscal_ref, yX_ref, start_slab, wait_slab
     )
+
+
+def _logreg_mb_hbm_db_step_factory(
+    static_cfg, masks, const_refs, mscal_ref, scratch_refs
+):
+    """Double-buffered HBM streaming: batch slab it+1 is PREFETCHED while
+    step it computes, hiding the full DMA round trip (the synchronous
+    variant costs 1.44x the resident spec; within-step overlap recovered
+    nothing because the wait dominates, BENCH_NOTES "Round 5").
+
+    Hazard-free pipeline (zero per-step conditionals — the 19-minute
+    pl.when-per-loop-step Mosaic compile trap, CLAUDE.md):
+      prologue          start slab(it0)        -> buf[it0 % 2]
+      step it           start slab(it+1)       -> buf[(it+1) % 2]
+                        wait  slab(it), compute from buf[it % 2]
+      epilogue          wait  slab(it0+steps)  (the dangling prefetch)
+    Starts == waits, and every buffer's reads finish before its next
+    write (loop iterations are sequential)."""
+    db, B, nb = static_cfg
+    X_hbm, yX_ref = const_refs    # (n_used, D_PAD) HBM, (nb_pad, D_PAD)
+    buf, sems = scratch_refs      # (2, B, D_PAD) VMEM, DMA sems (2,)
+    it0, steps = masks.it0, masks.steps
+
+    def dma_for(it):
+        k = jax.lax.rem(it, nb)
+        slot = jax.lax.rem(it, 2)
+        return pltpu.make_async_copy(
+            X_hbm.at[pl.ds(k * B, B), :], buf.at[slot], sems.at[slot]
+        )
+
+    dma_for(it0).start()          # prologue: the chunk's first slab
+
+    def start_slab(k, it):
+        dma_for(it + 1).start()   # prefetch the NEXT step's slab
+        return it
+
+    def wait_slab(it):
+        dma_for(it).wait()
+        slot = jax.lax.rem(it, 2)
+        blk = buf[pl.ds(slot, 1)]
+        return blk.reshape(blk.shape[1], blk.shape[2])
+
+    fn = _logreg_mb_math(
+        static_cfg, masks, mscal_ref, yX_ref, start_slab, wait_slab
+    )
+    return fn, lambda: dma_for(it0 + steps).wait()
 
 
 def _pack_minibatch_consts(Xp, yp, B, db):
@@ -995,7 +1056,8 @@ def _pack_minibatch_consts(Xp, yp, B, db):
     return (X_pad, yX_pad)
 
 
-def _logreg_mb_build(X, y, batch_size, prior_scale, key, streamed):
+def _logreg_mb_build(X, y, batch_size, prior_scale, key, streamed,
+                     prefetch=True):
     """Shared builder for the VMEM-resident and HBM-streamed minibatch
     logreg specs — one copy of the validation, drop-trailing-batch
     permutation, likelihood rescaling, and reshuffle closure (review
@@ -1034,14 +1096,17 @@ def _logreg_mb_build(X, y, batch_size, prior_scale, key, streamed):
         consts=_pack_minibatch_consts(Xp, yp, batch_size, db),
         scalars=jnp.array([n_data / batch_size, prior_scale], jnp.float32),
         step_factory=(
-            _logreg_mb_hbm_step_factory if streamed
-            else _logreg_mb_step_factory
+            (_logreg_mb_hbm_db_step_factory if prefetch
+             else _logreg_mb_hbm_step_factory)
+            if streamed else _logreg_mb_step_factory
         ),
         static_cfg=(db, batch_size, nb),
         reshuffle=reshuffle,
         const_spaces=("any", "vmem") if streamed else None,
         scratch=(
-            (("vmem", (batch_size, dp), "float32"), ("dma",))
+            ((("vmem", (2, batch_size, dp), "float32"), ("dma", (2,)))
+             if prefetch
+             else (("vmem", (batch_size, dp), "float32"), ("dma",)))
             if streamed else ()
         ),
     )
@@ -1081,6 +1146,7 @@ def logreg_minibatch_hbm_spec(
     batch_size: int,
     prior_scale: float = 3.0,
     key: Optional[jax.Array] = None,
+    prefetch: bool = True,
 ) -> FusedModelSpec:
     """Doubly-stochastic hierarchical logreg with the dataset resident in
     HBM (VERDICT r4 #5): same estimator and schedule as
@@ -1092,8 +1158,13 @@ def logreg_minibatch_hbm_spec(
     Reference analogue: src/algorithms/subsampledobjective.jl:10-90 has
     no residency constraint (CPU RAM); this is the TPU-native equivalent
     for the large-n regime that motivates subsampling in the first place.
+    ``prefetch=True`` (default) double-buffers: the next batch's DMA is
+    in flight while the current step computes; ``False`` selects the
+    synchronous single-buffer variant (A/B reference).
     """
-    return _logreg_mb_build(X, y, batch_size, prior_scale, key, True)
+    return _logreg_mb_build(
+        X, y, batch_size, prior_scale, key, True, prefetch=prefetch
+    )
 
 
 def _gaussian_step_factory(static_cfg, masks, const_refs, mscal_ref):

@@ -168,13 +168,16 @@ def _chains_kernel(
     chain_col = jax.lax.broadcasted_iota(jnp.int32, (c_pad, 1), 0)
     maskC = (chain_col < n_chains).astype(jnp.float32)   # (c_pad, 1)
     masks = Masks(lane=lane, maskd=maskd, maskn=maskR, d=d,
-                  n_samples=n_samples)
+                  n_samples=n_samples, it0=it0, steps=steps)
     if n_scratch:
         model_fn = step_factory(
             static_cfg, masks, const_refs, mscal_ref, scratch_refs
         )
     else:
         model_fn = step_factory(static_cfg, masks, const_refs, mscal_ref)
+    model_epilogue = None
+    if isinstance(model_fn, tuple):
+        model_fn, model_epilogue = model_fn
 
     inv_n = 1.0 / n_samples
     ln_b1 = jnp.log(b1)
@@ -342,6 +345,8 @@ def _chains_kernel(
     amu_o[:] = a_mu
     asig_o[:] = a_sig
     elbo_o[:] = elbo_c + jnp.zeros((c_pad, dp), jnp.float32)
+    if model_epilogue is not None:
+        model_epilogue()
     if traced:
         # this grid step's (1, c_pad) row of the per-chain ELBO trace —
         # a NaN/diverged chain is visible at log_every granularity

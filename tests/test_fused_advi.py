@@ -1222,7 +1222,10 @@ def test_fused_minibatch_hbm_matches_resident(flagship):
     spec_vm = logreg_minibatch_spec(prob.X, prob.y, **kw)
     spec_hbm = logreg_minibatch_hbm_spec(prob.X, prob.y, **kw)
     assert spec_hbm.const_spaces == ("any", "vmem")
-    assert spec_hbm.scratch[0][0] == "vmem" and spec_hbm.scratch[1] == ("dma",)
+    # default = double-buffered prefetch: (2, B, dp) buffer + 2 DMA sems
+    assert spec_hbm.scratch[0][0] == "vmem"
+    assert spec_hbm.scratch[0][1][0] == 2
+    assert spec_hbm.scratch[1] == ("dma", (2,))
 
     rng = np.random.default_rng(1)
     noise = jnp.asarray(
@@ -1269,3 +1272,51 @@ def test_fused_minibatch_hbm_large_n():
     st = eng.run_chunk(st, jax.random.key(1), steps=3, noise=noise)
     assert np.isfinite(float(st.elbo))
     assert int(st.iteration) == 3
+
+
+def test_fused_minibatch_hbm_prefetch_matches_sync(flagship):
+    """The double-buffered prefetch pipeline (prologue start, per-step
+    start(it+1)/wait(it), epilogue wait) computes EXACTLY what the
+    synchronous variant does — and chunk splits keep the pipeline sound
+    (each chunk re-runs its own prologue/epilogue)."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import (
+        logreg_minibatch_hbm_spec,
+    )
+
+    prob, _ = flagship
+    d = prob.dim
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    kw = dict(batch_size=16, key=jax.random.key(2))
+    spec_db = logreg_minibatch_hbm_spec(prob.X, prob.y, **kw)
+    spec_sync = logreg_minibatch_hbm_spec(prob.X, prob.y, prefetch=False,
+                                          **kw)
+    rng = np.random.default_rng(1)
+    steps = 7
+    noise = jnp.asarray(
+        rng.standard_normal((steps * N_PAD, D_PAD)).astype(np.float32)
+    )
+    states = []
+    for spec in (spec_sync, spec_db):
+        eng = FusedADVI(spec, n_samples=6, lr=1e-3, interpret=True)
+        st = eng.init(q0.location, q0.scale_diag)
+        st = eng.run_chunk(st, jax.random.key(1), steps=steps, noise=noise)
+        states.append(st)
+    for a, b in zip(states[0][:8], states[1][:8]):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    # split chunks: 3 + 4 == 7 (prologue/epilogue re-run per chunk)
+    eng = FusedADVI(spec_db, n_samples=6, lr=1e-3, interpret=True)
+    st = eng.init(q0.location, q0.scale_diag)
+    st = eng.run_chunk(st, jax.random.key(1), steps=3,
+                       noise=noise[: 3 * N_PAD])
+    st = eng.run_chunk(st, jax.random.key(1), steps=4,
+                       noise=noise[3 * N_PAD :])
+    assert_allclose(
+        np.asarray(st.mu), np.asarray(states[1].mu), rtol=1e-6, atol=1e-7
+    )
+    # traced mode (grid): prologue/epilogue per grid step
+    st2 = eng.init(q0.location, q0.scale_diag)
+    st2, trace = eng.run_chunk_traced(
+        st2, jax.random.key(1), steps=6, log_every=3,
+        noise=noise[: 6 * N_PAD],
+    )
+    assert np.all(np.isfinite(np.asarray(trace)))
