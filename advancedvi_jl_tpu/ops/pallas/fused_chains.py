@@ -39,6 +39,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -73,6 +74,15 @@ _L2PI = math.log(2.0 * math.pi)
 N_SAMPLES_MAX = 16
 C_PAD_MAX = 128  # VMEM budget: R = 16 * 128 rows of (R, 128) f32 blocks
 
+# per-chain rule codes for MIXED optimizer sweeps (kernel rcol values)
+RULE_CODES = {
+    ALGO_ADAM: 0.0,
+    ALGO_DESCENT: 1.0,
+    ALGO_DOWG: 2.0,
+    ALGO_DOG: 3.0,
+    ALGO_COCOB: 4.0,
+}
+
 
 class FusedChainsState(NamedTuple):
     """Kernel-resident state for C_PAD chains; every array (C_PAD, D_PAD)
@@ -96,8 +106,8 @@ class FusedChainsState(NamedTuple):
 def _chains_kernel(
     # static
     step_factory, static_cfg, n_consts, n_scratch, n_chains, c_pad,
-    n_samples, d, steps, use_noise, use_lrs, use_ext, traced, algo,
-    entropy, grad_est, operator,
+    n_samples, d, steps, use_noise, use_lrs, use_rules, use_ext, traced,
+    algo, entropy, grad_est, operator,
     # refs
     *refs,
 ):
@@ -122,6 +132,8 @@ def _chains_kernel(
     noise_ref = refs[k] if use_noise else None
     k += 1 if use_noise else 0
     lrs_ref = refs[k] if use_lrs else None
+    k += 1 if use_lrs else 0
+    rules_ref = refs[k] if use_rules else None
     scratch_refs = refs[len(refs) - n_scratch :] if n_scratch else ()
     n_out = 9 + (6 if use_ext else 0) + (1 if traced else 0)
     outs_all = refs[len(refs) - n_scratch - n_out : len(refs) - n_scratch]
@@ -251,7 +263,106 @@ def _chains_kernel(
             elbo_c = energy + ent                  # (c_pad, 1)
 
         c = it_f + 1.0
-        if algo == ALGO_ADAM:
+        if use_rules:
+            # MIXED per-chain rules (round 5): every rule's update is
+            # computed as a candidate and blended per chain row —
+            # optimizer arithmetic is a small slice of the step, so the
+            # 3-4x redundancy costs little while one dispatch compares
+            # {adam, descent, dowg, dog, cocob} on the same model.
+            # Slot meanings are PER ROW (m_* = adam first moment OR the
+            # frozen x0/x1; v_* = second moment OR [v, r] lanes OR
+            # COCOB's L); candidates computed from a foreign row's slots
+            # are finite garbage that the blend discards.
+            rcol = rules_ref[:]                     # (c_pad, 1) f32 codes
+            is_adam = (rcol == 0.0).astype(jnp.float32)
+            is_desc = (rcol == 1.0).astype(jnp.float32)
+            is_dowg = (rcol == 2.0).astype(jnp.float32)
+            is_dog = (rcol == 3.0).astype(jnp.float32)
+            is_cocob = (rcol == 4.0).astype(jnp.float32)
+            eta_rows = is_desc + is_dowg + is_dog
+
+            # adam candidate
+            bc1 = 1.0 - jnp.exp(c * ln_b1)
+            bc2 = 1.0 - jnp.exp(c * ln_b2)
+            am_mu = b1 * m_mu + (1.0 - b1) * dmu
+            av_mu = b2 * v_mu + (1.0 - b2) * dmu * dmu
+            aupd_mu = -lr * (am_mu / bc1) / (jnp.sqrt(av_mu / bc2) + eps)
+            am_sig = b1 * m_sig + (1.0 - b1) * dsig
+            av_sig = b2 * v_sig + (1.0 - b2) * dsig * dsig
+            aupd_sig = -lr * (am_sig / bc1) / (
+                jnp.sqrt(av_sig / bc2) + eps
+            )
+
+            # dowg/dog candidate (shared [v, r] slot scheme)
+            l0 = (lane == 0).astype(jnp.float32)
+            l1 = (lane == 1).astype(jnp.float32)
+            v_prev = jnp.sum(v_mu * l0, axis=1, keepdims=True)
+            r_prev = jnp.sum(v_mu * l1, axis=1, keepdims=True)
+            dist = jnp.sqrt(
+                jnp.sum((mu - m_mu) ** 2, axis=1, keepdims=True)
+                + jnp.sum((sig - m_sig) ** 2, axis=1, keepdims=True)
+            )
+            r = jnp.maximum(dist, r_prev)
+            gsq = (
+                jnp.sum(dmu * dmu, axis=1, keepdims=True)
+                + jnp.sum(dsig * dsig, axis=1, keepdims=True)
+            )
+            v_dowg = v_prev + r * r * gsq
+            v_dog = v_prev + gsq
+            v2 = is_dowg * v_dowg + is_dog * v_dog
+            eta_pf = (
+                is_dowg * (r * r / jnp.sqrt(jnp.maximum(v_dowg, 1e-30)))
+                + is_dog * (r / jnp.sqrt(jnp.maximum(v_dog, 1e-30)))
+            )
+            eta = is_desc * lr + eta_pf
+            pf_v_mu = l0 * v2 + l1 * r
+
+            # cocob candidate (engine ships ext whenever any row is cocob)
+            if use_ext:
+                ca = hyp_ref[6]
+                g_mu, r_mu, t_mu, g_sig, r_sig, t_sig = ext
+                cmu, cL_mu, cg_mu, cr_mu, ct_mu = _cocob_update(
+                    ca, mu, m_mu, v_mu, g_mu, r_mu, t_mu, dmu
+                )
+                csig, cL_sig, cg_sig, cr_sig, ct_sig = _cocob_update(
+                    ca, sig, m_sig, v_sig, g_sig, r_sig, t_sig, dsig
+                )
+                ext = (
+                    is_cocob * cg_mu + (1.0 - is_cocob) * g_mu,
+                    is_cocob * cr_mu + (1.0 - is_cocob) * r_mu,
+                    is_cocob * ct_mu + (1.0 - is_cocob) * t_mu,
+                    is_cocob * cg_sig + (1.0 - is_cocob) * g_sig,
+                    is_cocob * cr_sig + (1.0 - is_cocob) * r_sig,
+                    is_cocob * ct_sig + (1.0 - is_cocob) * t_sig,
+                )
+            else:
+                cmu = csig = 0.0
+                cL_mu = cL_sig = 0.0
+
+            mu = (
+                is_adam * (mu + aupd_mu)
+                + eta_rows * (mu - eta * dmu)
+                + is_cocob * cmu
+            )
+            sig = (
+                is_adam * (sig + aupd_sig)
+                + eta_rows * (sig - eta * dsig)
+                + is_cocob * csig
+            )
+            m_mu = is_adam * am_mu + (1.0 - is_adam) * m_mu
+            m_sig = is_adam * am_sig + (1.0 - is_adam) * m_sig
+            v_mu = (
+                is_adam * av_mu
+                + (is_dowg + is_dog) * pf_v_mu
+                + is_cocob * cL_mu
+                + is_desc * v_mu
+            )
+            v_sig = (
+                is_adam * av_sig
+                + is_cocob * cL_sig
+                + (1.0 - is_adam - is_cocob) * v_sig
+            )
+        elif algo == ALGO_ADAM:
             # Adam (optax.scale_by_adam, count_inc = it + 1), elementwise
             # per chain; padded chains receive exactly zero gradients.
             bc1 = 1.0 - jnp.exp(c * ln_b1)
@@ -360,16 +471,17 @@ def _chains_kernel(
     static_argnames=(
         "step_factory", "static_cfg", "n_chains", "c_pad", "n_samples",
         "d", "steps", "use_noise", "use_ext", "interpret", "d_pad",
-        "use_lrs", "log_every", "algo", "entropy", "grad_est", "operator",
-        "const_spaces", "scratch",
+        "use_lrs", "use_rules", "log_every", "algo", "entropy", "grad_est",
+        "operator", "const_spaces", "scratch",
     ),
 )
 def _run_chains_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     step_factory, static_cfg, n_chains, c_pad, n_samples, d, steps,
     use_noise, interpret, d_pad=D_PAD, lrs=None, use_lrs=False,
-    log_every=0, algo=ALGO_ADAM, entropy=ENT_STL, grad_est=GE_REPGRAD,
-    operator=OP_CLIP, ext=(), use_ext=False, const_spaces=None, scratch=(),
+    rules=None, use_rules=False, log_every=0, algo=ALGO_ADAM,
+    entropy=ENT_STL, grad_est=GE_REPGRAD, operator=OP_CLIP, ext=(),
+    use_ext=False, const_spaces=None, scratch=(),
 ):
     shape = (c_pad, d_pad)
     out_shape = tuple(
@@ -383,6 +495,8 @@ def _run_chains_chunk(
         operands = operands + (noise,)
     if use_lrs:
         operands = operands + (lrs,)
+    if use_rules:
+        operands = operands + (rules,)
     traced = log_every > 0
     if traced and steps % log_every:
         raise ValueError(
@@ -395,8 +509,8 @@ def _run_chains_chunk(
     kernel = functools.partial(
         _chains_kernel, step_factory, static_cfg, len(consts),
         len(scratch_shapes), n_chains, c_pad, n_samples, d,
-        log_every if traced else steps, use_noise, use_lrs, use_ext,
-        traced, algo, entropy, grad_est, operator,
+        log_every if traced else steps, use_noise, use_lrs, use_rules,
+        use_ext, traced, algo, entropy, grad_est, operator,
     )
     if not traced:
         vec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -408,6 +522,7 @@ def _run_chains_chunk(
             + ([vec] * 6 if use_ext else [])
             + ([vec] if use_noise else [])
             + ([vec] if use_lrs else [])
+            + ([vec] if use_rules else [])
         )
         return pl.pallas_call(
             kernel,
@@ -484,7 +599,27 @@ class FusedChainsADVI:
         operator: str = OP_CLIP,
         alpha: float = 1e-6,
     ):
-        if optimizer not in (
+        # MIXED per-chain rule sweeps (round 5): optimizer may be a
+        # sequence of n_chains rule names — one dispatch runs a different
+        # update rule per chain (the kernel blends per-row candidates).
+        self.rules = None
+        if isinstance(optimizer, (list, tuple)):
+            if len(optimizer) != n_chains:
+                raise ValueError(
+                    f"per-chain optimizer needs {n_chains} entries, got "
+                    f"{len(optimizer)}"
+                )
+            bad = [o for o in optimizer if o not in RULE_CODES]
+            if bad:
+                raise ValueError(f"unknown optimizers in sweep: {bad!r}")
+            if operator == OP_PROX:
+                raise ValueError(
+                    "operator='prox' is not supported with a mixed rule "
+                    "sweep (the step size is undefined on adam/cocob rows)"
+                )
+            self._rule_list = tuple(optimizer)
+            optimizer = "mixed"
+        if optimizer != "mixed" and optimizer not in (
             ALGO_ADAM, ALGO_DESCENT, ALGO_DOWG, ALGO_DOG, ALGO_COCOB,
         ):
             raise ValueError(f"unknown optimizer {optimizer!r}")
@@ -540,7 +675,16 @@ class FusedChainsADVI:
         # the one kernel (padded chains get lr 0 — doubly inert).
         self.lrs = None
         if hasattr(lr, "shape") and getattr(lr, "shape", ()) != ():
-            if optimizer not in (ALGO_ADAM, ALGO_DESCENT):
+            if optimizer == "mixed":
+                if not any(
+                    o in (ALGO_ADAM, ALGO_DESCENT) for o in self._rule_list
+                ):
+                    raise ValueError(
+                        "per-chain lr with a mixed sweep needs at least "
+                        "one adam/descent row (the other rules never read "
+                        "lr)"
+                    )
+            elif optimizer not in (ALGO_ADAM, ALGO_DESCENT):
                 # ADVICE r4: DoWG is parameter-free — the kernel never
                 # reads lr in that branch, so a per-chain lr array would
                 # silently run C identical-step-size chains.
@@ -573,6 +717,17 @@ class FusedChainsADVI:
         self.operator = operator
         self.alpha = alpha
         self.cocob_alpha = 100.0  # COCOB bet-fraction floor (rules.py)
+        if self.algo == "mixed":
+            # padded chains get the descent code: with their zero
+            # gradients (and lr 0 on padded lr-sweep rows) every slot is
+            # a no-op, keeping padding inert
+            codes = np.asarray(
+                [RULE_CODES[o] for o in self._rule_list], np.float32
+            )
+            col = np.full((self.c_pad, 1), RULE_CODES[ALGO_DESCENT],
+                          np.float32)
+            col[: self.n_chains, 0] = codes
+            self.rules = jnp.asarray(col)
 
     def init(
         self, locations: jax.Array, scale_diags: jax.Array
@@ -595,6 +750,43 @@ class FusedChainsADVI:
             scale_diags.astype(jnp.float32)
         )
         zeros = jnp.zeros((cp, self.d_pad), jnp.float32)
+        if self.algo == "mixed":
+            # per-ROW slot layout: parameter-free/cocob rows freeze their
+            # start point in m_* (x0/x1); dowg/dog rows carry [v, r]
+            # lanes in v_mu; adam/descent rows keep zeros.  ext ships
+            # whenever any row is cocob.
+            rl = self._rule_list
+            copy_rows = np.zeros((cp, 1), np.float32)
+            pf_rows = np.zeros((cp,), bool)
+            for i, o in enumerate(rl):
+                if o in (ALGO_DOWG, ALGO_DOG, ALGO_COCOB):
+                    copy_rows[i, 0] = 1.0
+                if o in (ALGO_DOWG, ALGO_DOG):
+                    pf_rows[i] = True
+            copy_m = jnp.asarray(copy_rows)
+            norm0 = jnp.sqrt(
+                jnp.sum(jnp.square(locations.astype(jnp.float32)), axis=1)
+                + jnp.sum(jnp.square(scale_diags.astype(jnp.float32)),
+                          axis=1)
+            )
+            r0 = jnp.float32(self.alpha) * (1.0 + norm0)   # (C,)
+            r0_col = jnp.zeros((cp,), jnp.float32).at[:C].set(
+                jnp.where(jnp.asarray(pf_rows[:C]), r0, 0.0)
+            )
+            v_mu = zeros.at[:, 1].set(r0_col)
+            has_cocob = any(o == ALGO_COCOB for o in rl)
+            return FusedChainsState(
+                mu=mu, sig=sig,
+                m_mu=copy_m * mu, v_mu=v_mu,
+                m_sig=copy_m * sig, v_sig=zeros,
+                avg_mu=mu, avg_sig=sig,
+                iteration=jnp.asarray(0, jnp.int32),
+                elbo=jnp.zeros((cp,), jnp.float32),
+                ext=(
+                    (zeros, zeros, zeros, zeros, zeros, zeros)
+                    if has_cocob else None
+                ),
+            )
         if self.algo == ALGO_COCOB:
             # per-chain COCOB state: x1 = m_* copies, L = v_* (zeros),
             # (G, reward, theta) x (mu, sig) in the ext slots.
@@ -687,6 +879,15 @@ class FusedChainsADVI:
             state.m_sig, state.v_sig, state.avg_mu, state.avg_sig,
         )
         use_ext = state.ext is not None
+        if (
+            self.algo == "mixed"
+            and any(o == ALGO_COCOB for o in self._rule_list)
+            and not use_ext
+        ):
+            raise ValueError(
+                "this mixed sweep contains cocob rows; init() the state "
+                "with this engine so the ext accumulators exist"
+            )
         if self.algo == ALGO_COCOB and not use_ext:
             raise ValueError(
                 "COCOB needs a state created with optimizer='cocob' "
@@ -704,7 +905,10 @@ class FusedChainsADVI:
             d_pad=self.d_pad,
             lrs=(lrs if lrs is not None
                  else jnp.zeros((1, 1), jnp.float32)),
-            use_lrs=lrs is not None, log_every=log_every,
+            use_lrs=lrs is not None,
+            rules=(self.rules if self.rules is not None
+                   else jnp.zeros((1, 1), jnp.float32)),
+            use_rules=self.rules is not None, log_every=log_every,
             algo=self.algo, entropy=self.entropy,
             grad_est=self.grad_est, operator=self.operator,
             ext=(state.ext if use_ext else ()), use_ext=use_ext,
@@ -755,6 +959,12 @@ class FusedChainsADVI:
         from jax.sharding import PartitionSpec as P
 
         n_dev = mesh.shape[axis]
+        if self.rules is not None:
+            raise ValueError(
+                "run_sharded does not yet support mixed per-chain rule "
+                "sweeps; run them single-device (one dispatch) or build "
+                "one engine per device"
+            )
         if self.n_chains != self.c_pad or self.n_chains % n_dev:
             raise ValueError(
                 f"run_sharded needs n_chains (= {self.n_chains}) to be a "

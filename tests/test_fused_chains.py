@@ -621,3 +621,81 @@ def test_chains_sharded_lr_sweep(flagship):
         log_every=2,
     )
     assert tr.shape == (2, n_chains)
+
+
+def test_chains_mixed_rule_sweep_matches_single_engines(flagship):
+    """MIXED per-chain rules in one dispatch (round 5): each chain of a
+    {adam, descent, dowg, dog, cocob} sweep must equal the corresponding
+    single-rule engine's chain on identical injected noise — the blended
+    candidates are exact, not approximate."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import FusedADVI
+
+    prob, _ = flagship
+    d = prob.dim
+    spec = logreg_spec(prob.X, prob.y)
+    rules = ["adam", "descent", "dowg", "dog", "cocob", "adam", "dowg",
+             "cocob"]
+    C8, n_s, steps = len(rules), 4, 4
+    rng = np.random.default_rng(11)
+    locs = jnp.asarray(rng.normal(0, 0.2, (C8, d)).astype(np.float32))
+    sds = 0.1 * jnp.ones((C8, d), jnp.float32)
+
+    eng = FusedChainsADVI(
+        spec, n_chains=C8, n_samples=n_s, lr=1e-3, optimizer=rules,
+        interpret=True,
+    )
+    st = eng.init(locs, sds)
+    assert st.ext is not None          # cocob rows present
+    R = n_s * eng.c_pad
+    noise = jnp.asarray(
+        rng.standard_normal((steps * R, eng.d_pad)).astype(np.float32)
+    )
+    st = eng.run_chunk(st, jax.random.key(3), steps=steps, noise=noise)
+
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import N_PAD
+
+    for c, rule in enumerate(rules):
+        single = FusedADVI(spec, n_samples=n_s, lr=1e-3, interpret=True)
+        single.algo = rule
+        s0 = single.init(locs[c], sds[c])
+        rows = []
+        for t in range(steps):
+            blk = noise[t * R : (t + 1) * R]
+            per_chain = blk.reshape(n_s, eng.c_pad, eng.d_pad)[:, c, :]
+            rows.append(
+                jnp.zeros((N_PAD, eng.d_pad), jnp.float32).at[:n_s].set(
+                    per_chain
+                )
+            )
+        s0 = single.run_chunk(
+            s0, jax.random.key(3), steps=steps, noise=jnp.concatenate(rows)
+        )
+        assert_allclose(
+            np.asarray(st.mu[c]), np.asarray(s0.mu[0]), rtol=1e-5,
+            atol=1e-6, err_msg=f"chain {c} rule {rule}",
+        )
+        assert_allclose(
+            np.asarray(st.sig[c]), np.asarray(s0.sig[0]), rtol=1e-5,
+            atol=1e-6, err_msg=f"chain {c} rule {rule}",
+        )
+    # padding inert
+    assert np.all(np.asarray(st.sig[C8:]) == 1.0)
+    assert np.all(np.asarray(st.m_mu[C8:]) == 0.0)
+
+
+def test_chains_mixed_rule_validation(flagship):
+    prob, _ = flagship
+    spec = logreg_spec(prob.X, prob.y)
+    with pytest.raises(ValueError, match="entries"):
+        FusedChainsADVI(spec, n_chains=8, optimizer=["adam"] * 7)
+    with pytest.raises(ValueError, match="unknown optimizers"):
+        FusedChainsADVI(spec, n_chains=8, optimizer=["adam"] * 7 + ["sgd"])
+    with pytest.raises(ValueError, match="prox"):
+        FusedChainsADVI(
+            spec, n_chains=8, optimizer=["adam"] * 8, operator="prox"
+        )
+    with pytest.raises(ValueError, match="lr"):
+        FusedChainsADVI(
+            spec, n_chains=8, optimizer=["dowg"] * 8,
+            lr=jnp.ones(8) * 1e-3,
+        )
