@@ -247,6 +247,31 @@ def _cocob_update(ca, x, x1, L, Gs, Rw, th, g):
     return x1 + bet * (L2 + R2), L2, G2, R2, t2
 
 
+def _adam_candidate(lr, b1, b2, eps, bc1, bc2, m, v, g):
+    """One Adam update candidate (optax.scale_by_adam semantics) — shared
+    by the single-chain kernel, the chains kernel's single-rule branch,
+    and the mixed-rule blend, so the moment/bias-correction math can
+    never drift between them (the per-chain-pinning contract)."""
+    m2 = b1 * m + (1.0 - b1) * g
+    v2 = b2 * v + (1.0 - b2) * g * g
+    upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+    return m2, v2, upd
+
+
+def _dowg_step(v_prev, r, gsq):
+    """DoWG accumulator + step size (optim/rules.py dowg); the
+    max(v, tiny) floor guards the exactly-zero-first-gradient edge
+    (ADVICE r4).  Shared across kernels and the mixed-rule blend."""
+    v = v_prev + r * r * gsq
+    return v, r * r / jnp.sqrt(jnp.maximum(v, 1e-30))
+
+
+def _dog_step(v_prev, r, gsq):
+    """DoG accumulator + step size (optim/rules.py dog) — see _dowg_step."""
+    v = v_prev + gsq
+    return v, r / jnp.sqrt(jnp.maximum(v, 1e-30))
+
+
 def _backsub_ct(C, u, d, lane):
     """v = C^{-T} u by back-substitution, unrolled over the d real rows.
 
@@ -522,15 +547,14 @@ def _kernel(
             # Adam (optax.scale_by_adam semantics, count_inc = it + 1)
             bc1 = 1.0 - jnp.exp(c * ln_b1)
             bc2 = 1.0 - jnp.exp(c * ln_b2)
-
-            def adam(m, v, g, p_):
-                m2 = b1 * m + (1.0 - b1) * g
-                v2 = b2 * v + (1.0 - b2) * g * g
-                upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
-                return m2, v2, p_ + upd
-
-            m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
-            m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
+            m_mu, v_mu, upd = _adam_candidate(
+                lr, b1, b2, eps, bc1, bc2, m_mu, v_mu, dmu
+            )
+            mu = mu + upd
+            m_sig, v_sig, upd = _adam_candidate(
+                lr, b1, b2, eps, bc1, bc2, m_sig, v_sig, dsig
+            )
+            sig = sig + upd
         elif algo == ALGO_COCOB:
             # per-coordinate coin betting — see _cocob_update for the
             # slot layout and padding-inertness argument
@@ -562,14 +586,10 @@ def _kernel(
                 )
                 r = jnp.maximum(dist, r_prev)
                 gsq = jnp.sum(dmu * dmu) + jnp.sum(dsig * dsig)
-                # guard matches fused_chains (ADVICE r4): an exactly-zero
-                # first gradient gives v = 0; without the floor eta = inf.
                 if algo == ALGO_DOWG:
-                    v = v_prev + r * r * gsq
-                    eta = r * r / jnp.sqrt(jnp.maximum(v, 1e-30))
-                else:  # DoG: v += ||g||^2, eta = r / sqrt(v)
-                    v = v_prev + gsq
-                    eta = r / jnp.sqrt(jnp.maximum(v, 1e-30))
+                    v, eta = _dowg_step(v_prev, r, gsq)
+                else:
+                    v, eta = _dog_step(v_prev, r, gsq)
                 v_mu = l0 * v + l1 * r
             else:
                 eta = lr
@@ -1153,8 +1173,10 @@ def logreg_minibatch_hbm_spec(
     ``logreg_minibatch_spec``, but the feature matrix never enters VMEM
     whole — each step DMAs one (B, D_PAD) slab into a scratch buffer, so
     n_data scales to HBM capacity (500k rows = 256 MB at D_PAD=128)
-    instead of the ~24k-row VMEM cap.  Measured: 396k steps/s at n=500k,
-    1.43x the resident spec's per-step cost (BENCH_NOTES "Round 5").
+    instead of the ~24k-row VMEM cap.  Measured with the default
+    double-buffered prefetch: 525.9k steps/s at n=500k, ~1.05x the
+    resident spec's per-step cost; the synchronous ``prefetch=False``
+    variant costs 1.43x (~400k steps/s) — BENCH_NOTES "Round 5".
     Reference analogue: src/algorithms/subsampledobjective.jl:10-90 has
     no residency constraint (CPU RAM); this is the TPU-native equivalent
     for the large-n regime that motivates subsampling in the first place.

@@ -61,7 +61,10 @@ from .fused_advi import (
     OP_NONE,
     OP_PROX,
     _GOLD,
+    _adam_candidate,
     _cocob_update,
+    _dog_step,
+    _dowg_step,
     FusedModelSpec,
     Masks,
     _box_muller,
@@ -281,16 +284,16 @@ def _chains_kernel(
             is_cocob = (rcol == 4.0).astype(jnp.float32)
             eta_rows = is_desc + is_dowg + is_dog
 
-            # adam candidate
+            # adam candidate (shared helper: the per-chain-pinning
+            # contract requires bit-identical math to the single-rule
+            # branches)
             bc1 = 1.0 - jnp.exp(c * ln_b1)
             bc2 = 1.0 - jnp.exp(c * ln_b2)
-            am_mu = b1 * m_mu + (1.0 - b1) * dmu
-            av_mu = b2 * v_mu + (1.0 - b2) * dmu * dmu
-            aupd_mu = -lr * (am_mu / bc1) / (jnp.sqrt(av_mu / bc2) + eps)
-            am_sig = b1 * m_sig + (1.0 - b1) * dsig
-            av_sig = b2 * v_sig + (1.0 - b2) * dsig * dsig
-            aupd_sig = -lr * (am_sig / bc1) / (
-                jnp.sqrt(av_sig / bc2) + eps
+            am_mu, av_mu, aupd_mu = _adam_candidate(
+                lr, b1, b2, eps, bc1, bc2, m_mu, v_mu, dmu
+            )
+            am_sig, av_sig, aupd_sig = _adam_candidate(
+                lr, b1, b2, eps, bc1, bc2, m_sig, v_sig, dsig
             )
 
             # dowg/dog candidate (shared [v, r] slot scheme)
@@ -307,13 +310,10 @@ def _chains_kernel(
                 jnp.sum(dmu * dmu, axis=1, keepdims=True)
                 + jnp.sum(dsig * dsig, axis=1, keepdims=True)
             )
-            v_dowg = v_prev + r * r * gsq
-            v_dog = v_prev + gsq
+            v_dowg, eta_dowg = _dowg_step(v_prev, r, gsq)
+            v_dog, eta_dog = _dog_step(v_prev, r, gsq)
             v2 = is_dowg * v_dowg + is_dog * v_dog
-            eta_pf = (
-                is_dowg * (r * r / jnp.sqrt(jnp.maximum(v_dowg, 1e-30)))
-                + is_dog * (r / jnp.sqrt(jnp.maximum(v_dog, 1e-30)))
-            )
+            eta_pf = is_dowg * eta_dowg + is_dog * eta_dog
             eta = is_desc * lr + eta_pf
             pf_v_mu = l0 * v2 + l1 * r
 
@@ -367,15 +367,14 @@ def _chains_kernel(
             # per chain; padded chains receive exactly zero gradients.
             bc1 = 1.0 - jnp.exp(c * ln_b1)
             bc2 = 1.0 - jnp.exp(c * ln_b2)
-
-            def adam(m, v, g, p_):
-                m2 = b1 * m + (1.0 - b1) * g
-                v2 = b2 * v + (1.0 - b2) * g * g
-                upd = -lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
-                return m2, v2, p_ + upd
-
-            m_mu, v_mu, mu = adam(m_mu, v_mu, dmu, mu)
-            m_sig, v_sig, sig = adam(m_sig, v_sig, dsig, sig)
+            m_mu, v_mu, upd = _adam_candidate(
+                lr, b1, b2, eps, bc1, bc2, m_mu, v_mu, dmu
+            )
+            mu = mu + upd
+            m_sig, v_sig, upd = _adam_candidate(
+                lr, b1, b2, eps, bc1, bc2, m_sig, v_sig, dsig
+            )
+            sig = sig + upd
         elif algo == ALGO_COCOB:
             # per-coordinate coin betting — COCOB is fully elementwise, so
             # the multi-chain form is literally the single-chain form on
@@ -409,13 +408,12 @@ def _chains_kernel(
                     jnp.sum(dmu * dmu, axis=1, keepdims=True)
                     + jnp.sum(dsig * dsig, axis=1, keepdims=True)
                 )
-                # padded chains: v stays 0 -> guard the division
+                # padded chains: v stays 0 -> the shared helpers floor
+                # the division
                 if algo == ALGO_DOWG:
-                    v = v_prev + r * r * gsq
-                    eta = r * r / jnp.sqrt(jnp.maximum(v, 1e-30))
-                else:  # DoG: v += ||g||^2, eta = r / sqrt(v)
-                    v = v_prev + gsq
-                    eta = r / jnp.sqrt(jnp.maximum(v, 1e-30))
+                    v, eta = _dowg_step(v_prev, r, gsq)
+                else:
+                    v, eta = _dog_step(v_prev, r, gsq)
                 v_mu = l0 * v + l1 * r
             else:
                 eta = lr
@@ -603,6 +601,13 @@ class FusedChainsADVI:
         # sequence of n_chains rule names — one dispatch runs a different
         # update rule per chain (the kernel blends per-row candidates).
         self.rules = None
+        if optimizer == "mixed":
+            # "mixed" is the internal sentinel set AFTER a per-chain rule
+            # list validates; the bare string has no rule list to run
+            raise ValueError(
+                "pass the per-chain rule NAMES as a list/tuple (e.g. "
+                "optimizer=['adam', 'dowg', ...]), not the string 'mixed'"
+            )
         if isinstance(optimizer, (list, tuple)):
             if len(optimizer) != n_chains:
                 raise ValueError(

@@ -699,3 +699,10 @@ def test_chains_mixed_rule_validation(flagship):
             spec, n_chains=8, optimizer=["dowg"] * 8,
             lr=jnp.ones(8) * 1e-3,
         )
+
+
+def test_chains_bare_mixed_string_rejected(flagship):
+    prob, _ = flagship
+    spec = logreg_spec(prob.X, prob.y)
+    with pytest.raises(ValueError, match="list"):
+        FusedChainsADVI(spec, n_chains=8, optimizer="mixed")
