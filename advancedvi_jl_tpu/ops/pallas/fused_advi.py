@@ -83,7 +83,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .location_scale_kernels import _box_muller, key_to_seed
 
 D_PAD = 128     # default lane-padded parameter dimension (one lane tile)
-N_PAD = 16      # sublane-padded sample count (n_samples <= 16)
+N_PAD = 16      # default sublane-padded sample count (n_samples <= 16)
+N_SAMPLES_MAX_SC = 128  # single-chain engines: widest sample-row padding
+
+
+def n_pad_for(n: int) -> int:
+    """Sample-row padding: the next multiple of 8, floored at the
+    historical N_PAD = 16 so the noise-injection layout of existing
+    callers/tests is unchanged for n_samples <= 16 (round 5 lifted the
+    cap — the reference family has no n_samples limit)."""
+    return max(N_PAD, -(-n // 8) * 8)
 D_PAD_MAX = 2048  # mean-field engines: widest supported lane padding
 # full-rank engines: the dense (dp, dp) scale + its 3 optimizer/averager
 # companions appear as separate in+out kernel refs (8 dp^2 f32 buffers);
@@ -346,8 +355,9 @@ def _backsub_ct_blocked(C, u, block=D_PAD):
 
 def _kernel(
     # static
-    family, step_factory, static_cfg, n_consts, n_scratch, n_samples, d,
-    steps, use_noise, use_ext, traced, algo, entropy, grad_est, operator,
+    family, step_factory, static_cfg, n_consts, n_scratch, n_samples,
+    n_pad, d, steps, use_noise, use_ext, traced, algo, entropy, grad_est,
+    operator,
     # refs
     *refs,
 ):
@@ -411,7 +421,7 @@ def _kernel(
     dp = state_in[0].shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, dp), 1)
     maskd = (lane < d).astype(jnp.float32)
-    rowi = jax.lax.broadcasted_iota(jnp.int32, (N_PAD, dp), 0)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (n_pad, dp), 0)
     maskn = (rowi < n_samples).astype(jnp.float32)
     masks = Masks(lane=lane, maskd=maskd, maskn=maskn, d=d,
                   n_samples=n_samples, it0=it0, steps=steps)
@@ -440,7 +450,7 @@ def _kernel(
     ln_b1 = jnp.log(b1)
     ln_b2 = jnp.log(b2)
     row_valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (N_PAD, 1), 0) < n_samples
+        jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0) < n_samples
     ).astype(jnp.float32)
 
     def body(i, carry):
@@ -450,7 +460,7 @@ def _kernel(
 
         if use_noise:
             # chunk-local row: block offset + in-block index (traced grid)
-            u = noise_ref[pl.ds((block_off + i) * N_PAD, N_PAD), :]
+            u = noise_ref[pl.ds((block_off + i) * n_pad, n_pad), :]
         else:
             # STEP-INDEXED stream (VERDICT r4 #3): reseed per step with the
             # GLOBAL iteration folded into seed word 0 (v5e: max 2 seed
@@ -460,7 +470,7 @@ def _kernel(
             # (optimize.py).  Skipped entirely on the noise-injection debug
             # path so interpret mode never touches TPU RNG primitives.
             pltpu.prng_seed(seed_ref[0] + (it0 + i) * _GOLD, seed_ref[1])
-            u = _box_muller((N_PAD, dp))
+            u = _box_muller((n_pad, dp))
         u = u * maskn * maskd
 
         if family == MEANFIELD:
@@ -662,7 +672,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "family", "step_factory", "static_cfg", "n_samples", "d", "steps",
+        "family", "step_factory", "static_cfg", "n_samples", "n_pad",
+        "d", "steps",
         "use_noise", "use_ext", "interpret", "log_every", "algo", "entropy",
         "d_pad", "grad_est", "operator", "const_spaces", "scratch",
     ),
@@ -670,9 +681,9 @@ def _kernel(
 def _run_chunk(
     seed, it0, hyp, mscal, consts, noise, state_arrays,
     family, step_factory, static_cfg, n_samples, d, steps, use_noise,
-    interpret, log_every=0, algo=ALGO_ADAM, entropy=ENT_STL, d_pad=D_PAD,
-    grad_est=GE_REPGRAD, operator=OP_CLIP, ext=(), use_ext=False,
-    const_spaces=None, scratch=(),
+    interpret, n_pad=N_PAD, log_every=0, algo=ALGO_ADAM, entropy=ENT_STL,
+    d_pad=D_PAD, grad_est=GE_REPGRAD, operator=OP_CLIP, ext=(),
+    use_ext=False, const_spaces=None, scratch=(),
 ):
     scale_shape = (
         (1, d_pad) if family == MEANFIELD else (d_pad, d_pad)
@@ -703,8 +714,9 @@ def _run_chunk(
     scratch_shapes = _materialize_scratch(scratch)
     kernel = functools.partial(
         _kernel, family, step_factory, static_cfg, len(consts),
-        len(scratch_shapes), n_samples, d, log_every if traced else steps,
-        use_noise, use_ext, traced, algo, entropy, grad_est, operator,
+        len(scratch_shapes), n_samples, n_pad, d,
+        log_every if traced else steps, use_noise, use_ext, traced, algo,
+        entropy, grad_est, operator,
     )
     # d=512 full-rank carries ~18 MB of state+temporaries — past XLA's
     # default 16 MB scoped-vmem budget but well inside the chip's VMEM
@@ -1671,9 +1683,10 @@ class FusedADVI:
                 f"family must be '{MEANFIELD}' or '{FULLRANK}', got "
                 f"{family!r}"
             )
-        if n_samples > N_PAD:
+        if n_samples > N_SAMPLES_MAX_SC:
             raise ValueError(
-                f"fused engine supports n_samples <= {N_PAD}, got {n_samples}"
+                f"fused engine supports n_samples <= {N_SAMPLES_MAX_SC}, "
+                f"got {n_samples}"
             )
         if model.dim > D_PAD_MAX:
             raise ValueError(
@@ -1690,6 +1703,7 @@ class FusedADVI:
         self.family = family
         self.dim = model.dim
         self.n_samples = n_samples
+        self.n_pad = n_pad_for(n_samples)
         self.lr, self.b1, self.b2, self.eps = lr, b1, b2, eps
         self.avg_eta, self.clip_eps = avg_eta, clip_eps
         self.hyp = jnp.array(
@@ -1823,14 +1837,14 @@ class FusedADVI:
         model = self.model if model is None else model
         use_noise = noise is not None
         if use_noise:
-            expect = (steps * N_PAD, self.d_pad)
+            expect = (steps * self.n_pad, self.d_pad)
             if noise.shape != expect:
                 raise ValueError(
                     f"noise must have shape {expect} for steps={steps}, "
                     f"got {noise.shape}"
                 )
         else:
-            noise = jnp.zeros((N_PAD, self.d_pad), jnp.float32)
+            noise = jnp.zeros((self.n_pad, self.d_pad), jnp.float32)
         seed = key_to_seed(key)
         it0 = state.iteration.reshape(1)
         arrays = (
@@ -1850,7 +1864,8 @@ class FusedADVI:
             family=self.family, step_factory=model.step_factory,
             static_cfg=model.static_cfg, n_samples=self.n_samples,
             d=self.dim, steps=steps, use_noise=use_noise,
-            interpret=self.interpret, log_every=log_every,
+            interpret=self.interpret, n_pad=self.n_pad,
+            log_every=log_every,
             algo=self.algo, entropy=self.entropy, d_pad=self.d_pad,
             grad_est=self.grad_est, operator=self.operator,
             ext=(state.ext if use_ext else ()), use_ext=use_ext,

@@ -74,7 +74,7 @@ from .location_scale_kernels import key_to_seed
 
 _L2PI = math.log(2.0 * math.pi)
 
-N_SAMPLES_MAX = 16
+N_SAMPLES_MAX = 64   # round 5: lifted from 16 (joint VMEM check below)
 C_PAD_MAX = 128  # VMEM budget: R = 16 * 128 rows of (R, 128) f32 blocks
 
 # per-chain rule codes for MIXED optimizer sweeps (kernel rcol values)
@@ -655,6 +655,7 @@ class FusedChainsADVI:
                 f"fused chains support n_samples <= {N_SAMPLES_MAX}, got "
                 f"{n_samples}"
             )
+        n_pad_c = -(-n_samples // 8) * 8
         if model.dim > D_PAD_MAX:
             raise ValueError(
                 f"fused engine supports dim <= {D_PAD_MAX}, got {model.dim}"
@@ -662,13 +663,22 @@ class FusedChainsADVI:
         c_pad = -(-n_chains // 8) * 8
         d_pad = d_pad_for(model.dim)
         # VMEM budget: the (R, d_pad) sample blocks must stay small; cap
-        # the row-block footprint at the validated C=128 x d_pad=128 size.
+        # the JOINT row-block footprint at the validated
+        # n_samples=16 x C=128 x d_pad=128 size (round 5: n_samples and
+        # n_chains trade off inside one budget).
         if c_pad * d_pad > C_PAD_MAX * D_PAD:
             raise ValueError(
                 f"fused chains support n_chains * d_pad <= "
                 f"{C_PAD_MAX * D_PAD} per kernel (VMEM), got "
                 f"{c_pad} * {d_pad}; shard more chains over devices with "
                 "run_sharded"
+            )
+        if n_pad_c * c_pad * d_pad > 16 * C_PAD_MAX * D_PAD:
+            raise ValueError(
+                f"fused chains support n_samples_pad * n_chains * d_pad "
+                f"<= {16 * C_PAD_MAX * D_PAD} per kernel (VMEM sample "
+                f"block), got {n_pad_c} * {c_pad} * {d_pad}; use fewer "
+                "chains per kernel (run_sharded) or fewer samples"
             )
         self.model = model
         self.d_pad = d_pad

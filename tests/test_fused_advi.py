@@ -349,8 +349,10 @@ def test_fused_validation():
     y = jnp.zeros((8,))
     with pytest.raises(ValueError, match="dim"):
         FusedLogRegADVI(X, y)
+    # the n_samples cap moved to N_SAMPLES_MAX_SC = 128 (round 5)
     with pytest.raises(ValueError, match="n_samples"):
-        FusedLogRegADVI(jnp.zeros((8, 4)), jnp.zeros((8,)), n_samples=32)
+        FusedLogRegADVI(jnp.zeros((8, 4)), jnp.zeros((8,)), n_samples=129)
+    FusedLogRegADVI(jnp.zeros((8, 4)), jnp.zeros((8,)), n_samples=32)
     eng = FusedLogRegADVI(jnp.zeros((8, 4)), jnp.zeros((8,)))
     with pytest.raises(ValueError, match="location"):
         eng.init(jnp.zeros(3), jnp.ones(3))
@@ -1320,3 +1322,50 @@ def test_fused_minibatch_hbm_prefetch_matches_sync(flagship):
         noise=noise[: 6 * N_PAD],
     )
     assert np.all(np.isfinite(np.asarray(trace)))
+
+
+def test_fused_wide_n_samples_matches_general_path(flagship):
+    """Round 5: the n_samples <= 16 cap is lifted (parametric sample-row
+    padding) — parity vs the general path at n_samples = 24 for both
+    families."""
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import n_pad_for
+
+    assert n_pad_for(10) == 16 and n_pad_for(24) == 24 and n_pad_for(100) == 104
+    prob = make_logreg(jax.random.key(4), n_data=64, n_features=10)
+    target = prob.unconstrained()
+    d = prob.dim
+    n_s, T_ = 24, 3
+    q0 = avt.MeanFieldGaussian(jnp.zeros(d), 0.1 * jnp.ones(d))
+    alg = avt.KLMinRepGradDescent(
+        entropy=avt.STL, n_samples=n_s,
+        optimizer=optax.adam(1e-3), operator=avt.ClipScale(),
+    )
+    state = alg.init(jax.random.key(0), q0, target)
+    state, draws, infos = _run_general(alg, state, T_, n_s)
+
+    engine = FusedADVI(
+        logreg_spec(prob.X, prob.y, prior_scale=prob.prior_scale,
+                    likeadj=float(prob.likeadj)),
+        n_samples=n_s, lr=1e-3, interpret=True,
+    )
+    assert engine.n_pad == 24
+    noise = np.zeros((T_ * engine.n_pad, engine.d_pad), np.float32)
+    for t, u in enumerate(draws):
+        noise[t * engine.n_pad : t * engine.n_pad + n_s, :d] = u
+    fstate = engine.init(q0.location, q0.scale_diag)
+    fstate = engine.run_chunk(
+        fstate, jax.random.key(1), steps=T_, noise=jnp.asarray(noise)
+    )
+    assert_allclose(fstate.mu[0, :d], state.q.location, rtol=1e-5, atol=1e-6)
+    assert_allclose(
+        fstate.sig[0, :d], state.q.scale_diag, rtol=1e-5, atol=1e-6
+    )
+    assert_allclose(
+        float(fstate.elbo), float(infos[-1]["elbo"]), rtol=1e-4, atol=1e-4
+    )
+    # over-cap still rejected
+    from advancedvi_jl_tpu.ops.pallas.fused_advi import N_SAMPLES_MAX_SC
+
+    with pytest.raises(ValueError, match="n_samples"):
+        FusedADVI(gaussian_spec(jnp.zeros(4), jnp.ones(4)),
+                  n_samples=N_SAMPLES_MAX_SC + 1)

@@ -338,8 +338,13 @@ def test_fused_chains_validation(flagship):
     spec = logreg_spec(prob.X, prob.y)
     with pytest.raises(ValueError, match="n_chains"):
         FusedChainsADVI(spec, n_chains=500)
+    # the flat n_samples cap is 64 (round 5); beyond it raises, and the
+    # JOINT sample-block VMEM budget rejects big n_samples x n_chains
     with pytest.raises(ValueError, match="n_samples"):
-        FusedChainsADVI(spec, n_chains=8, n_samples=64)
+        FusedChainsADVI(spec, n_chains=8, n_samples=65)
+    with pytest.raises(ValueError, match="VMEM sample"):
+        FusedChainsADVI(spec, n_chains=128, n_samples=64)
+    FusedChainsADVI(spec, n_chains=8, n_samples=64)
     eng = FusedChainsADVI(spec, n_chains=8, interpret=True)
     with pytest.raises(ValueError, match="locations"):
         eng.init(jnp.zeros((4, prob.dim)), jnp.ones((4, prob.dim)))
