@@ -83,7 +83,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .location_scale_kernels import _box_muller, key_to_seed
 
 D_PAD = 128     # default lane-padded parameter dimension (one lane tile)
-N_PAD = 16      # default sublane-padded sample count (n_samples <= 16)
+N_PAD = 16      # default sublane-padded sample count (minimum row padding)
 N_SAMPLES_MAX_SC = 128  # single-chain engines: widest sample-row padding
 
 
